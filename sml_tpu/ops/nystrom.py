@@ -1,0 +1,127 @@
+"""Mask-aware Nystrom (linear-complexity) self-attention.
+
+Single implementation replacing the reference's three copies (vendored
+``models/NystromAttention.py:39-157``, ``models/cmta_utils.py:147-351``, and the
+``nystrom_attention`` pip package used by TransMIL).  Algorithm: m landmark queries/keys
+from segment means, three softmax kernels, Newton-Schulz pseudo-inverse of the landmark
+kernel, plus a depthwise-conv residual over values.
+
+TPU notes: the whole computation is O(N*m) matmuls that XLA maps onto the MXU; the
+pinv iteration runs in float32.  Mask support makes padded/bucketed bags exact, which is
+what lets us compile one program per bag-size bucket instead of per bag.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+from sml_tpu.ops.common import torch_kernel_init
+from sml_tpu.ops.linear_algebra import moore_penrose_pinv
+
+_NEG_INF = -3.4028234663852886e38  # -finfo(f32).max, matching torch's mask fill value
+
+
+class NystromAttention(nn.Module):
+    dim: int
+    dim_head: int = 64
+    heads: int = 8
+    num_landmarks: int = 256
+    pinv_iterations: int = 6
+    residual: bool = True
+    residual_conv_kernel: int = 33
+    eps: float = 1e-8
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = False, return_attn: bool = False):
+        b, n, _ = x.shape
+        h, m = self.heads, self.num_landmarks
+        inner_dim = h * self.dim_head
+
+        # pad (at the FRONT, like the reference) so n divides into m landmark segments
+        remainder = n % m
+        padding = (m - remainder) if remainder > 0 else 0
+        if padding:
+            x = jnp.pad(x, ((0, 0), (padding, 0), (0, 0)))
+            if mask is not None:
+                mask = jnp.pad(mask, ((0, 0), (padding, 0)), constant_values=False)
+        n_pad = n + padding
+        seg = n_pad // m  # segment length per landmark
+
+        qkv = nn.Dense(inner_dim * 3, use_bias=False, kernel_init=torch_kernel_init,
+                       dtype=self.dtype, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(t):
+            return t.reshape(b, n_pad, h, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+
+        if mask is not None:
+            m_ = mask[:, None, :, None].astype(q.dtype)  # (b, 1, n, 1)
+            q, k, v = q * m_, k * m_, v * m_
+
+        q = q * (self.dim_head ** -0.5)
+
+        # landmarks: means over contiguous segments (masked mean when mask given)
+        q_l = q.reshape(b, h, m, seg, self.dim_head).sum(axis=3)
+        k_l = k.reshape(b, h, m, seg, self.dim_head).sum(axis=3)
+
+        if mask is not None:
+            lm_sum = mask.reshape(b, m, seg).sum(axis=-1)            # (b, m)
+            divisor = lm_sum[:, None, :, None].astype(q.dtype) + self.eps
+            mask_landmarks = lm_sum > 0                               # (b, m)
+        else:
+            divisor = jnp.asarray(seg, q.dtype)
+
+        q_l = q_l / divisor
+        k_l = k_l / divisor
+
+        sim1 = jnp.einsum("bhid,bhjd->bhij", q, k_l)    # (b, h, n, m)
+        sim2 = jnp.einsum("bhid,bhjd->bhij", q_l, k_l)  # (b, h, m, m)
+        sim3 = jnp.einsum("bhid,bhjd->bhij", q_l, k)    # (b, h, m, n)
+
+        if mask is not None:
+            mq = mask[:, None, :, None]                  # (b,1,n,1)
+            ml = mask_landmarks[:, None, :, None]        # (b,1,m,1)
+            mlT = mask_landmarks[:, None, None, :]       # (b,1,1,m)
+            mkT = mask[:, None, None, :]                 # (b,1,1,n)
+            sim1 = jnp.where(mq & mlT, sim1, _NEG_INF)
+            sim2 = jnp.where(ml & mlT, sim2, _NEG_INF)
+            sim3 = jnp.where(ml & mkT, sim3, _NEG_INF)
+
+        attn1 = nn.softmax(sim1, axis=-1)
+        attn2 = nn.softmax(sim2, axis=-1)
+        attn3 = nn.softmax(sim3, axis=-1)
+        attn2_inv = moore_penrose_pinv(attn2, self.pinv_iterations)
+
+        out = (attn1 @ attn2_inv) @ (attn3 @ v)          # (b, h, n, d)
+
+        if self.residual:
+            pad = self.residual_conv_kernel // 2
+            # depthwise conv over the sequence axis, one filter per head
+            # layout: (b, n, d, h) as NHWC with C = heads
+            v_img = v.transpose(0, 2, 3, 1)
+            res = nn.Conv(features=h, kernel_size=(self.residual_conv_kernel, 1),
+                          padding=((pad, pad), (0, 0)), feature_group_count=h,
+                          use_bias=False, kernel_init=torch_kernel_init,
+                          dtype=self.dtype, name="res_conv")(v_img)
+            out = out + res.transpose(0, 3, 1, 2)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, n_pad, inner_dim)
+        out = nn.Dense(self.dim, kernel_init=torch_kernel_init, dtype=self.dtype,
+                       name="to_out")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = out[:, -n:]
+
+        if return_attn:
+            attn = attn1 @ attn2_inv @ attn3
+            return out, attn
+        return out
