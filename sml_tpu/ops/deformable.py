@@ -61,27 +61,28 @@ def _chunked_mlp(pos: jnp.ndarray, apply_fn, chunk: int) -> jnp.ndarray:
     return out[..., :i, :, :]
 
 
-class _CPBMLP(nn.Module):
-    """Shared 2-layer-deep CPB MLP: in_dim -> dim (ReLU) -> dim (ReLU) -> out_dim."""
-    in_dim: int
-    dim: int
-    out_dim: int
-    depth: int = 2
+def _declare_mlp_params(module: nn.Module, in_dim: int, dim: int, out_dim: int,
+                        depth: int):
+    """Declare CPB MLP params on ``module`` and return a pure apply closure.
 
-    def setup(self):
-        dims = [self.in_dim] + [self.dim] * self.depth + [self.out_dim]
-        self.ws = [self.param(f"w{i}", torch_kernel_init, (dims[i], dims[i + 1]))
-                   for i in range(len(dims) - 1)]
-        self.bs = [self.param(f"b{i}", nn.initializers.zeros, (dims[i + 1],))
-                   for i in range(len(dims) - 1)]
+    Raw params (not submodules) so the closure can run inside ``jax.lax.map``
+    (creating linen params inside traced control flow is illegal).
+    """
+    dims = [in_dim] + [dim] * depth + [out_dim]
+    ws = [module.param(f"w{i}", torch_kernel_init, (dims[i], dims[i + 1]))
+          for i in range(len(dims) - 1)]
+    bs = [module.param(f"b{i}", nn.initializers.zeros, (dims[i + 1],))
+          for i in range(len(dims) - 1)]
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        n = len(self.ws)
+    def apply_fn(x: jnp.ndarray) -> jnp.ndarray:
+        n = len(ws)
         for i in range(n):
-            x = x @ self.ws[i] + self.bs[i]
+            x = x @ ws[i] + bs[i]
             if i < n - 1:
                 x = nn.relu(x)
         return x
+
+    return apply_fn
 
 
 class CPB2D(nn.Module):
@@ -99,7 +100,7 @@ class CPB2D(nn.Module):
     @nn.compact
     def __call__(self, grid_q: jnp.ndarray, grid_kv: jnp.ndarray, batch: int) -> jnp.ndarray:
         out_per_group = self.heads // self.offset_groups
-        mlp = _CPBMLP(2, self.dim, out_per_group, self.depth, name="mlp")
+        mlp = _declare_mlp_params(self, 2, self.dim, out_per_group, self.depth)
 
         pos = grid_q[None, :, None, :] - grid_kv[:, None, :, :]   # (B*g, I, J, 2)
         pos = jnp.sign(pos) * jnp.log(jnp.abs(pos) + 1.0)
@@ -124,7 +125,7 @@ class CPB1D(nn.Module):
     @nn.compact
     def __call__(self, grid_q: jnp.ndarray, grid_kv: jnp.ndarray, batch: int) -> jnp.ndarray:
         out_per_group = self.heads // self.offset_groups
-        mlp = _CPBMLP(1, self.dim, out_per_group, self.depth, name="mlp")
+        mlp = _declare_mlp_params(self, 1, self.dim, out_per_group, self.depth)
 
         pos = grid_q[None, :, None, None] - grid_kv[:, None, :, None]  # (B*g, I, J, 1)
         if self.log_distance:

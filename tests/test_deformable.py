@@ -1,0 +1,126 @@
+"""Deformable cross-attention: shapes, CPB chunk consistency, conv parity vs torch."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sml_tpu.ops.deformable import (
+    CPB2D, DeformCrossAttention1D, DeformCrossAttention2D, _group, _ungroup,
+    make_grid_2d, normalize_grid_2d)
+
+
+def test_group_ungroup_roundtrip_and_torch_channel_order():
+    """_group must split channels into contiguous chunks (torch 'b (g d) ...' order)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 8)).astype(np.float32))
+    g = _group(x, 4)  # (8, 4, 4, 2)
+    assert g.shape == (8, 4, 4, 2)
+    # group 0 of batch 0 must carry channels [0, 1]
+    np.testing.assert_array_equal(np.asarray(g[0]), np.asarray(x[0, :, :, 0:2]))
+    np.testing.assert_array_equal(np.asarray(g[1]), np.asarray(x[0, :, :, 2:4]))
+    np.testing.assert_array_equal(np.asarray(_ungroup(g, 4)), np.asarray(x))
+
+
+def test_cpb_chunking_consistency():
+    rng = np.random.default_rng(1)
+    b, g, i, j = 2, 4, 100, 9
+    grid_q = jnp.asarray(rng.normal(size=(i, 2)).astype(np.float32))
+    grid_kv = jnp.asarray(rng.normal(size=(b * g, j, 2)).astype(np.float32))
+
+    mod_full = CPB2D(dim=16, heads=8, offset_groups=g, query_chunk=0)
+    params = mod_full.init(jax.random.PRNGKey(0), grid_q, grid_kv, b)
+    full = mod_full.apply(params, grid_q, grid_kv, b)
+
+    mod_chunk = CPB2D(dim=16, heads=8, offset_groups=g, query_chunk=17)
+    chunked = mod_chunk.apply(params, grid_q, grid_kv, b)
+
+    assert full.shape == (b, 8, i, j)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), rtol=1e-5, atol=1e-6)
+
+
+def test_offset_conv_spatial_shape_matches_reference():
+    """50x50 map, k=6 stride=4 pad=1 -> 12x12 offsets (reference prints at
+    models/DeformableAttention2D.py:256)."""
+    rng = np.random.default_rng(2)
+    b, n, c = 1, 2500, 32
+    x1 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    mod = DeformCrossAttention2D(dim=c, dim_head=8, heads=8, offset_groups=8)
+    params = mod.init(jax.random.PRNGKey(0), x1, x2, return_vgrid=True,
+                      deterministic=True)
+    out, vgrid = mod.apply(params, x1, x2, return_vgrid=True, deterministic=True)
+    assert out.shape == (b, n, c)
+    assert vgrid.shape == (b, 8, 12, 12, 2)
+
+
+@pytest.mark.parametrize("n", [64, 2500])
+def test_deform2d_shapes_and_grads(n):
+    rng = np.random.default_rng(3)
+    b, c = 2, 16
+    x1 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    mod = DeformCrossAttention2D(dim=c, dim_head=8, heads=4, offset_groups=4,
+                                 dropout=0.0)
+    params = mod.init(jax.random.PRNGKey(0), x1, x2, deterministic=True)
+
+    def loss(p):
+        return (mod.apply(p, x1, x2, deterministic=True) ** 2).sum()
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
+    # offsets must receive gradient (through grid_sample + CPB)
+    off_g = g["params"]["offset_conv"]["kernel"]
+    assert np.abs(np.asarray(off_g)).sum() > 0
+
+
+def test_deform1d_shapes_and_grads():
+    rng = np.random.default_rng(4)
+    b, n, c = 2, 101, 16  # odd length incl. a "cls" slot, like 1+N
+    x1 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    mod = DeformCrossAttention1D(dim=c, dim_head=8, heads=8, offset_groups=4,
+                                 downsample_factor=4, offset_scale=2.0,
+                                 offset_kernel_size=6)
+    params = mod.init(jax.random.PRNGKey(0), x1, x2, deterministic=True)
+    out = mod.apply(params, x1, x2, deterministic=True)
+    assert out.shape == (b, n, c)
+
+    def loss(p):
+        return (mod.apply(p, x1, x2, deterministic=True) ** 2).sum()
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
+
+
+def test_depthwise_strided_conv_matches_torch():
+    """The offset conv (k=6, stride=4, pad=1, depthwise) vs torch Conv2d."""
+    torch = pytest.importorskip("torch")
+    from flax import linen as nn
+
+    rng = np.random.default_rng(5)
+    b, h, w, c = 2, 50, 50, 8
+    x = rng.normal(size=(b, h, w, c)).astype(np.float32)
+
+    conv = nn.Conv(features=c, kernel_size=(6, 6), strides=(4, 4),
+                   padding=((1, 1), (1, 1)), feature_group_count=c, use_bias=True)
+    params = conv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = conv.apply(params, jnp.asarray(x))
+
+    kernel = np.asarray(params["params"]["kernel"])  # (kh, kw, in/groups=1, out=c)
+    bias = np.asarray(params["params"]["bias"])
+    t_conv = torch.nn.Conv2d(c, c, 6, stride=4, padding=1, groups=c)
+    with torch.no_grad():
+        t_conv.weight.copy_(torch.from_numpy(kernel.transpose(3, 2, 0, 1)))
+        t_conv.bias.copy_(torch.from_numpy(bias))
+    ref = t_conv(torch.from_numpy(x.transpose(0, 3, 1, 2))).detach().numpy()
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_normalized_grid_bounds():
+    grid = make_grid_2d(12, 12)
+    norm = normalize_grid_2d(grid, 12, 12)
+    assert np.asarray(norm).min() == -1.0
+    assert np.asarray(norm).max() == 1.0
