@@ -1,0 +1,195 @@
+"""Model / optimizer / scheduler factories (reference ``models/model.py:49-137``).
+
+Optimizer parity: torch Adam/SGD couple weight decay into the gradient before the
+moment updates (L2, not AdamW), reproduced with ``optax.add_decayed_weights`` placed
+before the moment transform.  Schedulers step per EPOCH in the reference; here the lr
+schedule is a function of the optax update count with ``steps_per_epoch`` baked in.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+from sml_tpu.config import Config
+from sml_tpu.models.cmta import CMTA
+from sml_tpu.models.deform import DeformPathomicNet
+from sml_tpu.models.maxnet import MaxNet, max_kernel_init
+from sml_tpu.models.mil import ABMIL, TransMIL
+from sml_tpu.models.mcat import MCATSurv
+from sml_tpu.models.pathomic import PathomicNet, PathomicNetOriginal
+
+# which batch keys each mode's __call__ consumes (batch dicts carry all of them)
+MODE_INPUTS: Dict[str, Tuple[str, ...]] = {
+    "path": ("x_path",),
+    "omic": ("x_omic",),
+    "pathomic": ("x_path", "x_omic"),
+    "pathomic_original": ("x_path", "x_omic"),
+    "mcat": ("x_path", "x_omic"),
+    "cmta": ("x_path", "x_omic"),
+    "deformpathomic": ("x_path", "x_omic_tumor", "x_omic_immune"),
+}
+
+
+def _dtype(config: Config):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[config.compute_dtype]
+
+
+def define_net(config: Config) -> nn.Module:
+    init_max = config.init_type == "max"
+    dtype = _dtype(config)
+    mode = config.mode
+    if mode == "path":
+        return ABMIL(label_dim=config.label_dim, path_dim=config.path_dim,
+                     input_path_dim=config.input_path_dim, dtype=dtype)
+    if mode == "omic":
+        return MaxNet(input_dim=config.input_size_omic, omic_dim=config.omic_dim,
+                      dropout_rate=config.dropout_rate, label_dim=config.label_dim,
+                      init_max=init_max, dtype=dtype)
+    if mode in ("pathomic", "pathomic_original"):
+        cls = PathomicNet if mode == "pathomic" else PathomicNetOriginal
+        return cls(label_dim=config.label_dim, input_size_omic=config.input_size_omic,
+                   path_dim=config.path_dim, omic_dim=config.omic_dim,
+                   mmhid=config.mmhid, dropout_rate=config.dropout_rate,
+                   fusion_type=config.fusion_type, cut_fuse_grad=config.cut_fuse_grad,
+                   skip=config.skip, use_bilinear=config.use_bilinear,
+                   gate1=config.path_gate, gate2=config.omic_gate,
+                   path_scale=config.path_scale, omic_scale=config.omic_scale,
+                   init_max=init_max, dtype=dtype)
+    if mode == "mcat":
+        return MCATSurv(label_dim=config.label_dim, dtype=dtype)
+    if mode == "cmta":
+        return CMTA(label_dim=config.label_dim, dtype=dtype)
+    if mode == "deformpathomic":
+        return DeformPathomicNet(
+            label_dim=config.label_dim,
+            input_size_omic_tumor=config.input_size_omic_tumor,
+            input_size_omic_immune=config.input_size_omic_immune,
+            path_dim=config.path_dim, omic_dim=config.omic_dim, mmhid=config.mmhid,
+            dropout_rate=config.dropout_rate, attn_dim=config.attn_dim,
+            return_vgrid=config.return_vgrid, fusion_type=config.fusion_type,
+            cut_fuse_grad=config.cut_fuse_grad, task_type=config.task_type,
+            init_max=init_max, skip=config.skip, use_bilinear=config.use_bilinear,
+            path_scale=config.path_scale, omic_scale=config.omic_scale,
+            remat=config.remat, dtype=dtype)
+    raise NotImplementedError(f"model [{mode}] is not implemented")
+
+
+def model_inputs(config: Config, batch: Dict[str, Any]) -> Dict[str, Any]:
+    return {k: batch[k] for k in MODE_INPUTS[config.mode]}
+
+
+def init_model(config: Config, model: nn.Module, rng: jax.Array,
+               batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Initialize variables and apply the configured init scheme.
+
+    ``init_type='max'`` is handled inside MaxNet/BilinearFusion kernel initializers
+    (reference applies ``init_max_weights`` in those constructors); other types
+    re-initialize every >=2-D kernel tree-wide, mirroring reference ``init_weights``
+    (``utils/utils.py:180-211``).
+    """
+    p_rng, d_rng = jax.random.split(rng)
+    variables = model.init({"params": p_rng, "dropout": d_rng},
+                           **model_inputs(config, batch), deterministic=True)
+    if config.init_type in ("max", "none"):
+        return variables
+    return _reinit_kernels(variables, config.init_type, config.init_gain, p_rng)
+
+
+def _reinit_kernels(variables, init_type: str, gain: float, rng: jax.Array):
+    params = flatten_dict(variables["params"])
+    new = {}
+    keys = sorted(params.keys())
+    rngs = jax.random.split(rng, len(keys))
+    for key, krng in zip(keys, rngs):
+        leaf = params[key]
+        name = key[-1]
+        if name in ("kernel", "weight") and leaf.ndim >= 2:
+            new[key] = _init_kernel(krng, leaf, init_type, gain)
+        elif name == "bias":
+            new[key] = jnp.zeros_like(leaf)
+        else:
+            new[key] = leaf
+    out = dict(variables)
+    out["params"] = unflatten_dict(new)
+    return out
+
+
+def _init_kernel(rng, leaf, init_type: str, gain: float):
+    shape, dtype = leaf.shape, leaf.dtype
+    if init_type == "normal":
+        return gain * jax.random.normal(rng, shape, dtype)
+    if init_type == "xavier":
+        init = jax.nn.initializers.variance_scaling(
+            gain * gain, "fan_avg", "normal", in_axis=-2, out_axis=-1)
+        return init(rng, shape, dtype)
+    if init_type == "kaiming":
+        init = jax.nn.initializers.variance_scaling(2.0, "fan_in", "normal",
+                                                    in_axis=-2, out_axis=-1)
+        return init(rng, shape, dtype)
+    if init_type == "orthogonal":
+        init = jax.nn.initializers.orthogonal(scale=gain, column_axis=-1)
+        if len(shape) >= 2:
+            return init(rng, shape, dtype)
+        return leaf
+    raise NotImplementedError(f"initialization method [{init_type}] is not implemented")
+
+
+def make_lr_schedule(config: Config, steps_per_epoch: int) -> Callable[[int], float]:
+    """Per-epoch torch scheduler semantics as a function of the optax step count."""
+    lr0 = config.lr
+    policy = config.lr_policy
+
+    if policy == "onecycle":
+        # torch OneCycleLR(max_lr=1e-3, epochs=epochs+epochs_decay, steps_per_epoch=200)
+        total = (config.epochs + config.epochs_decay) * 200
+        return optax.cosine_onecycle_schedule(
+            transition_steps=total, peak_value=1e-3, pct_start=0.3,
+            div_factor=25.0, final_div_factor=1e4)
+
+    def epoch_mult(epoch: jnp.ndarray) -> jnp.ndarray:
+        if policy == "linear":
+            return 1.0 - jnp.maximum(
+                0.0, epoch + config.epoch_count - config.epochs
+            ) / float(config.epochs_decay + 1)
+        if policy == "exp":
+            return 0.1 ** epoch
+        if policy == "step":
+            return 0.1 ** (epoch // config.lr_decay_iters)
+        if policy == "cosine":
+            return 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / config.epochs))
+        # "plateau" is metric-driven in torch; approximated as constant here
+        return jnp.asarray(1.0)
+
+    def schedule(count):
+        epoch = jnp.asarray(count) // max(steps_per_epoch, 1)
+        return lr0 * epoch_mult(epoch.astype(jnp.float32))
+
+    return schedule
+
+
+def define_optimizer(config: Config, steps_per_epoch: int = 1
+                     ) -> optax.GradientTransformation:
+    sched = make_lr_schedule(config, steps_per_epoch)
+    wd = config.weight_decay
+    decay = [optax.add_decayed_weights(wd)] if wd else []
+    if config.optimizer == "adam":
+        core = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    elif config.optimizer == "sgd":
+        core = optax.trace(decay=0.9, nesterov=False)
+    elif config.optimizer == "adagrad":
+        core = optax.scale_by_rss(initial_accumulator_value=0.1)
+    else:
+        raise NotImplementedError(
+            f"optimizer [{config.optimizer}] is not implemented")
+    return optax.chain(*decay, core, optax.scale_by_learning_rate(sched))
+
+
+# alias mirroring the reference's name
+define_scheduler = make_lr_schedule

@@ -1,0 +1,99 @@
+"""Pathology MIL models over pre-extracted patch-feature bags.
+
+ABMIL (reference ``models/mil.py:34-99``): 2-layer tanh attention over patches,
+softmax-weighted bag mean, classifier + 128-d multimodal projection.
+
+TransMIL (reference ``models/mil.py:209-259``): fc 1024->512, square-pad the bag by
+wrapping, prepend cls token, two Nystrom TransLayers with a PPEG positional conv in
+between, cls-token head.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sml_tpu.ops.common import torch_kernel_init
+from sml_tpu.ops.conv import PPEG
+from sml_tpu.ops.nystrom import NystromAttention
+
+
+class ABMIL(nn.Module):
+    label_dim: int = 4
+    path_dim: int = 128
+    input_path_dim: int = 1024
+    attn_hidden: int = 128
+    n_attn_heads: int = 1  # K in the reference
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x_path: jnp.ndarray, deterministic: bool = False
+                 ) -> Dict[str, jnp.ndarray]:
+        b, n, l = x_path.shape
+        a = nn.tanh(nn.Dense(self.attn_hidden, kernel_init=torch_kernel_init,
+                             dtype=self.dtype, name="attention_0")(x_path))
+        a = nn.Dense(self.n_attn_heads, kernel_init=torch_kernel_init,
+                     dtype=self.dtype, name="attention_1")(a)          # (B, N, K)
+        a = nn.softmax(a.transpose(0, 2, 1), axis=-1)                  # (B, K, N)
+        m = jnp.einsum("bkn,bnl->bkl", a, x_path).reshape(b, -1)       # (B, K*L)
+
+        logits = nn.Dense(self.label_dim, kernel_init=torch_kernel_init,
+                          dtype=self.dtype, name="classifier")(m)
+        encoded = nn.Dense(self.path_dim, kernel_init=torch_kernel_init,
+                           dtype=self.dtype, name="multimodal_projection")(m)
+        return {"features": encoded, "logits": logits, "attention": a}
+
+
+class TransLayer(nn.Module):
+    """Pre-norm Nystrom attention residual block (reference ``models/mil.py:171-189``)."""
+    dim: int = 512
+    dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = False) -> jnp.ndarray:
+        y = nn.LayerNorm(name="norm")(x)
+        y = NystromAttention(dim=self.dim, dim_head=self.dim // 8, heads=8,
+                             num_landmarks=self.dim // 2, pinv_iterations=6,
+                             residual=True, dropout=self.dropout, dtype=self.dtype,
+                             name="attn")(y, deterministic=deterministic)
+        return x + y
+
+
+class TransMIL(nn.Module):
+    label_dim: int = 4
+    path_dim: int = 128
+    hidden_dim: int = 512
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x_path: jnp.ndarray, deterministic: bool = False
+                 ) -> Dict[str, jnp.ndarray]:
+        b, n, _ = x_path.shape
+        h = nn.relu(nn.Dense(self.hidden_dim, kernel_init=torch_kernel_init,
+                             dtype=self.dtype, name="fc1")(x_path))
+
+        side = int(math.ceil(math.sqrt(n)))
+        add_length = side * side - n
+        if add_length:
+            h = jnp.concatenate([h, h[:, :add_length]], axis=1)
+
+        cls = self.param("cls_token", nn.initializers.normal(1.0),
+                         (1, 1, self.hidden_dim))
+        h = jnp.concatenate([jnp.tile(cls, (b, 1, 1)).astype(h.dtype), h], axis=1)
+
+        h = TransLayer(self.hidden_dim, dtype=self.dtype, name="layer1")(
+            h, deterministic=deterministic)
+        h = PPEG(self.hidden_dim, dtype=self.dtype, name="pos_layer")(h, side, side)
+        h = TransLayer(self.hidden_dim, dtype=self.dtype, name="layer2")(
+            h, deterministic=deterministic)
+
+        h = nn.LayerNorm(name="norm")(h)[:, 0]
+        logits = nn.Dense(self.label_dim, kernel_init=torch_kernel_init,
+                          dtype=self.dtype, name="fc2")(h)
+        encoded = nn.Dense(self.path_dim, kernel_init=torch_kernel_init,
+                           dtype=self.dtype, name="multimodal_projection")(h)
+        return {"features": encoded, "logits": logits}
