@@ -1,0 +1,39 @@
+"""Mesh construction + batch/param sharding utilities."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sml_tpu.config import Config
+
+
+def make_mesh(config: Optional[Config] = None, num_devices: int = 0,
+              axis_name: str = "data") -> Mesh:
+    if config is not None:
+        num_devices = config.num_devices
+        axis_name = config.data_axis
+    devices = jax.devices()
+    if num_devices and num_devices > 0:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis_name: str = "data"
+                ) -> Dict[str, Any]:
+    """Put a host batch onto the mesh, sharded along the leading (batch) dim."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate_tree(mesh: Mesh, tree: Any) -> Any:
+    """Fully replicate a pytree (params / train state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,48 @@
+"""Evaluation loops (reference ``utils/metrics.py:38-196``): jitted batched forward,
+host-side metric computation with exact reference semantics (risk = -sum(S), C-index
+over the accumulated arrays; softmax activations for the classification metrics)."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from sml_tpu.config import Config
+from sml_tpu.train.losses import TASK_LABEL_SLOT
+from sml_tpu.train.metrics import cindex, compute_avg_metrics
+
+
+def evaluate(config: Config, eval_step: Callable, variables, loader,
+             mesh=None) -> Dict[str, float]:
+    """Run a full pass; returns {'cindex'} or the 7 classification metrics + loss."""
+    from sml_tpu.parallel.mesh import shard_batch
+
+    risks, probs, labels, masks, losses_ = [], [], [], [], []
+    for batch in loader:
+        mask = batch.pop("sample_mask")
+        dev_batch = shard_batch(mesh, batch) if mesh is not None else batch
+        out = eval_step(variables, dev_batch)
+        valid = mask > 0
+        labels.append(np.asarray(batch["labels"])[valid])
+        if "risk" in out:
+            risks.append(np.asarray(out["risk"])[valid])
+        else:
+            probs.append(np.asarray(out["probs"])[valid])
+        losses_.append(float(out["loss"]))
+        masks.append(mask)
+
+    labels = np.concatenate(labels, axis=0)
+    result: Dict[str, float] = {"loss": float(np.mean(losses_))}
+
+    if config.task_type == "survival":
+        risk = np.concatenate(risks, axis=0)
+        result["cindex"] = cindex(risk, labels[:, 9], labels[:, 11])
+        return result
+
+    act = np.concatenate(probs, axis=0)
+    gt = labels[:, TASK_LABEL_SLOT[config.task_type]]
+    acc, f1, auc, bac, sens, spec, prec = compute_avg_metrics(gt, act)
+    result.update({"acc": acc, "f1": f1, "auc": auc, "bac": bac, "sens": sens,
+                   "spec": spec, "prec": prec})
+    return result

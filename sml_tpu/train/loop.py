@@ -1,0 +1,129 @@
+"""Training orchestration (reference ``train_test.py:24-461`` + ``main.py:18-128``).
+
+Single-program SPMD: the host loop feeds GLOBAL batches; the mesh shards them; jit
+handles gradient sync.  Behavior parity: per-epoch test+val evaluation with
+best-on-val checkpointing (filename embeds test metrics), optional every-N-iteration
+eval sweeps (the reference's every-10-iters habit — expensive, off by default), seeded
+per-epoch shuffling, cosine-per-epoch LR.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from sml_tpu.config import Config
+from sml_tpu.data.loader import Loader, build_datasets
+from sml_tpu.models.factory import define_net, define_optimizer, init_model
+from sml_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+from sml_tpu.train import checkpoint as ckpt
+from sml_tpu.train.evaluate import evaluate
+from sml_tpu.train.state import TrainState
+from sml_tpu.train.steps import make_eval_step, make_train_step
+from sml_tpu.utils.logging import MetricLogger
+
+
+def setup(config: Config, mesh=None):
+    """Build (mesh, model, state, train_step, eval_step, loaders)."""
+    mesh = mesh or make_mesh(config)
+
+    train_ds = build_datasets(config, "Train")
+    test_ds = build_datasets(config, "Test")
+    val_ds = None if config.novalset else build_datasets(config, "Val")
+
+    train_loader = Loader(train_ds, config.batch_size, shuffle=True, drop_last=True,
+                          seed=config.seed, workers=config.workers)
+    test_loader = Loader(test_ds, config.batch_size)
+    val_loader = None if val_ds is None else Loader(val_ds, config.batch_size)
+
+    model = define_net(config)
+    rng = jax.random.PRNGKey(config.seed)
+    init_batch = next(iter(test_loader))
+    init_batch.pop("sample_mask", None)
+    variables = init_model(config, model, rng, init_batch)
+
+    steps_per_epoch = max(len(train_loader), 1)
+    tx = define_optimizer(config, steps_per_epoch)
+    state = TrainState.create(variables, tx, jax.random.fold_in(rng, 1))
+
+    if config.reload:
+        best_path = os.path.join(config.checkpoints, "best_modal")
+        weights = ckpt.restore_weights(best_path, state.model_variables())
+        state = state.replace(params=weights["params"],
+                              batch_stats=weights.get("batch_stats", {}))
+
+    state = replicate_tree(mesh, state)
+    train_step = make_train_step(config, model, tx)
+    eval_step = make_eval_step(config, model)
+    return mesh, model, state, train_step, eval_step, (train_loader, val_loader,
+                                                       test_loader)
+
+
+def _is_better(config: Config, val: Dict[str, float],
+               best: Dict[str, float]) -> bool:
+    if config.task_type == "survival":
+        return val["cindex"] > best.get("cindex", 0.0)
+    # reference: (val_auc > best_auc) or (val_acc > best_acc)
+    return (val["auc"] > best.get("auc", 0.0)) or (val["acc"] > best.get("acc", 0.0))
+
+
+def train(config: Config, logger: Optional[MetricLogger] = None
+          ) -> Tuple[TrainState, Dict[str, float]]:
+    logger = logger or MetricLogger(config, disabled=config.debug)
+    os.makedirs(config.checkpoints, exist_ok=True)
+
+    (mesh, model, state, train_step, eval_step,
+     (train_loader, val_loader, test_loader)) = setup(config)
+
+    best: Dict[str, float] = {}
+    cur_iters = 0
+    start = time.time()
+
+    for epoch in range(config.start_epoch, config.epochs):
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            batch.pop("sample_mask", None)
+            dev_batch = shard_batch(mesh, batch)
+            state, metrics = train_step(state, dev_batch)
+            cur_iters += 1
+
+            if (config.eval_every_iters
+                    and cur_iters % config.eval_every_iters == 0):
+                variables = state.model_variables()
+                test_m = evaluate(config, eval_step, variables, test_loader, mesh)
+                log = {"training": {k: float(v) for k, v in metrics.items()},
+                       "test": test_m}
+                if val_loader is not None:
+                    log["validation"] = evaluate(config, eval_step, variables,
+                                                 val_loader, mesh)
+                logger.log(log)
+            elif cur_iters % 10 == 0:
+                logger.log({"training": {k: float(v) for k, v in metrics.items()}})
+
+        # ---- per-epoch eval + best-on-val checkpoint (reference :263-290) ----
+        variables = state.model_variables()
+        test_m = evaluate(config, eval_step, variables, test_loader, mesh)
+        val_m = (evaluate(config, eval_step, variables, val_loader, mesh)
+                 if val_loader is not None else test_m)
+        logger.log({"epoch": epoch, "test": test_m, "validation": val_m,
+                    "elapsed_sec": time.time() - start})
+        print(f"epoch {epoch + 1}/{config.epochs} "
+              f"val={val_m} test={test_m}", flush=True)
+
+        if _is_better(config, val_m, best):
+            best = dict(val_m)
+            best["epoch"] = epoch
+            path = ckpt.best_checkpoint_name(config.checkpoints, epoch,
+                                             config.task_type, test_m)
+            ckpt.save_weights(path, jax.device_get(variables))
+            ckpt.save_weights(os.path.join(config.checkpoints, "best_modal"),
+                              jax.device_get(variables))
+
+        ckpt.save_train_state(os.path.join(config.checkpoints, "last_state"),
+                              jax.device_get(state))
+
+    return state, best

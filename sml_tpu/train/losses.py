@@ -1,0 +1,142 @@
+"""Loss zoo (reference ``utils/utils.py:245-308``, ``utils/loss.py:7-40``,
+``models/cmta_utils.py:1091-1228``, ``train_test.py:25-27``).
+
+All pure jnp functions usable inside jit.  The subspace batch-similarity loss
+(BatchLoss) operates on the jit-visible GLOBAL batch: under data-parallel sharding XLA
+inserts the all-gather the reference implements by hand with GatherLayer; the gradient
+here is the exact global-batch gradient (the reference's GatherLayer+DDP construction
+under-weights it by 1/world_size — see utils/gather.py:16-20 — controlled by
+``batchloss_grad_scale`` in the config).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# class weights, reference train_test.py:25-27 (train) and :465,533 (test)
+TASK_WEIGHTS_TRAIN = {
+    "diag2021": (1.0, 4.15, 2.93, 2.43),
+    "grade": (1.47, 1.51, 1.0),
+    "subtype": (1.0, 1.72, 2.43),
+}
+TASK_WEIGHTS_TEST = {
+    "diag2021": (1.0, 4.56, 3.21, 2.65),
+    "grade": None,
+    "subtype": None,
+}
+# label-vector slot per task (reference data/dataset.py:523)
+TASK_LABEL_SLOT = {"diag2021": 5, "grade": 4, "subtype": 7}
+
+
+def weighted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                           weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """torch ``nn.CrossEntropyLoss`` semantics: weighted mean normalized by the sum of
+    the per-target weights."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    if weights is None:
+        return nll.mean()
+    w = jnp.asarray(weights, logits.dtype)[labels.astype(jnp.int32)]
+    return (w * nll).sum() / w.sum()
+
+
+def nll_surv_loss(hazards: jnp.ndarray, s: Optional[jnp.ndarray], y: jnp.ndarray,
+                  c: jnp.ndarray, alpha: float = 0.4, eps: float = 1e-7) -> jnp.ndarray:
+    """Discrete-hazard NLL with censoring (reference ``utils/utils.py:245-261``).
+
+    hazards (B, K) in (0,1); y (B,) int bin; c (B,) censorship (1 = alive/censored).
+    """
+    y = y.astype(jnp.int32)[:, None]
+    c = c.astype(hazards.dtype)[:, None]
+    if s is None:
+        s = jnp.cumprod(1.0 - hazards, axis=1)
+    s_padded = jnp.concatenate([jnp.ones_like(c), s], axis=1)
+
+    gather = lambda t, idx: jnp.take_along_axis(t, idx, axis=1)
+    uncensored = -(1.0 - c) * (
+        jnp.log(jnp.clip(gather(s_padded, y), min=eps))
+        + jnp.log(jnp.clip(gather(hazards, y), min=eps)))
+    censored = -c * jnp.log(jnp.clip(gather(s_padded, y + 1), min=eps))
+    neg_l = censored + uncensored
+    loss = (1.0 - alpha) * neg_l + alpha * uncensored
+    return loss.mean()
+
+
+def cox_loss(survtime: jnp.ndarray, censor: jnp.ndarray,
+             hazard_pred: jnp.ndarray) -> jnp.ndarray:
+    """Cox partial likelihood (reference ``utils/utils.py:293-308``; unused by active
+    modes but kept for inventory parity)."""
+    r_mat = (survtime[None, :] >= survtime[:, None]).astype(hazard_pred.dtype)
+    theta = hazard_pred.reshape(-1)
+    exp_theta = jnp.exp(theta)
+    return -jnp.mean((theta - jnp.log(jnp.sum(exp_theta * r_mat, axis=1))) * censor)
+
+
+def l1_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.abs(a - b).mean()
+
+
+def kl_loss(y: jnp.ndarray, y_hat: jnp.ndarray) -> jnp.ndarray:
+    """torch ``F.kl_div(y_hat.softmax().log(), y.softmax(), reduction='sum')``."""
+    p = jax.nn.softmax(y, axis=-1)
+    logq = jax.nn.log_softmax(y_hat, axis=-1)
+    return jnp.sum(p * (jnp.log(jnp.clip(p, min=1e-12)) - logq))
+
+
+def cosine_loss(y: jnp.ndarray, y_hat: jnp.ndarray) -> jnp.ndarray:
+    sim = _cos(y, y_hat)
+    return 1.0 - sim
+
+
+def orthogonal_loss(p: jnp.ndarray, p_hat: jnp.ndarray, g: jnp.ndarray,
+                    g_hat: jnp.ndarray, gamma: float = 0.5) -> jnp.ndarray:
+    """Subspace orthogonality loss (reference ``models/cmta_utils.py:1210-1228``)."""
+    sg = jax.lax.stop_gradient
+    pos = (1.0 - jnp.abs(_cos(sg(p), p_hat))) + (1.0 - jnp.abs(_cos(sg(g), g_hat)))
+    neg = (jnp.abs(_cos(p, g)) + jnp.abs(_cos(sg(p), g_hat))
+           + jnp.abs(_cos(sg(g), p_hat)))
+    return pos + gamma * neg
+
+
+def _cos(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    num = jnp.sum(a * b, axis=1)
+    den = jnp.linalg.norm(a, axis=1) * jnp.linalg.norm(b, axis=1)
+    return num / jnp.maximum(den, eps)
+
+
+def batch_similarity_loss(omic: jnp.ndarray, vgrid: jnp.ndarray) -> jnp.ndarray:
+    """Subspace batch-similarity loss (reference ``utils/loss.py:7-40``), summed.
+
+    omic: (N, F) global-batch omic vectors (the reference passes the (N, T, F)
+    broadcast; its row-normalized similarity is identical).
+    vgrid: (N, g, ...) per-sample offset grids; similarity is computed per offset
+    GROUP over the batch and averaged over groups (the documented intent — the
+    reference's ``vgrid.view(8, N, -1)`` only realizes this when N == g == 8).
+    """
+    n = omic.shape[0]
+    omic2 = omic.reshape(n, -1)
+    sim = omic2 @ omic2.T
+    sim = sim / jnp.linalg.norm(sim, axis=1, keepdims=True)
+
+    g = vgrid.shape[1]
+    v = jnp.moveaxis(vgrid.reshape(n, g, -1), 1, 0)          # (g, N, F)
+    vsim = jnp.einsum("gif,gjf->gij", v, v)
+    vsim = vsim / jnp.linalg.norm(vsim, axis=2, keepdims=True)
+    mean_vsim = vsim.mean(axis=0)
+
+    return jnp.sum((sim - mean_vsim) ** 2 / n)
+
+
+def task_loss(logits: jnp.ndarray, labels: jnp.ndarray, task_type: str,
+              hazards: Optional[jnp.ndarray] = None, s: Optional[jnp.ndarray] = None,
+              train: bool = True) -> jnp.ndarray:
+    """Dispatch the reference's per-task loss (train vs test class weights)."""
+    if task_type == "survival":
+        h = hazards if hazards is not None else jax.nn.sigmoid(logits)
+        return nll_surv_loss(h, s, labels[:, 8], labels[:, 9], alpha=0.0)
+    slot = TASK_LABEL_SLOT[task_type]
+    weights = (TASK_WEIGHTS_TRAIN if train else TASK_WEIGHTS_TEST)[task_type]
+    return weighted_cross_entropy(logits, labels[:, slot], weights)
