@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness: deformpathomic FULL train step (fwd+bwd+adam, batch-sim loss,
+gradient modulation) at the reference workload shape (B=8 bags x 2500 patches x 1024).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "bags/s/chip", "vs_baseline": N}
+
+``vs_baseline`` compares against the PyTorch reference measured on this host's CPU
+(benchmarks/baseline_reference.json — no CUDA device exists here; see BASELINE.md).
+Runs on whatever platform jax selects (the tunneled TPU under axon; CPU in tests).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
+            warmup: int = 3, compute_dtype: str = "bfloat16",
+            task_type: str = "diag2021", mode: str = "deformpathomic",
+            use_pallas: bool = True) -> dict:
+    import jax
+
+    from __graft_entry__ import _example_batch
+    from sml_tpu.config import Config
+    from sml_tpu.models.factory import define_net, define_optimizer, init_model
+    from sml_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+    from sml_tpu.train.state import TrainState
+    from sml_tpu.train.steps import make_train_step
+
+    config = Config(mode=mode, fixdim=fixdim, batch_size=batch_size,
+                    task_type=task_type, compute_dtype=compute_dtype,
+                    gradient_modulate=True, return_vgrid=(mode == "deformpathomic"),
+                    use_pallas=use_pallas)
+    mesh = make_mesh(config)
+    n_chips = len(mesh.devices.reshape(-1))
+
+    model = define_net(config)
+    batch = _example_batch(config, batch_size)
+    variables = init_model(config, model, jax.random.PRNGKey(0), batch)
+    tx = define_optimizer(config, steps_per_epoch=100)
+    state = TrainState.create(variables, tx, jax.random.PRNGKey(1))
+
+    state = replicate_tree(mesh, state)
+    dev_batch = shard_batch(mesh, batch)
+    train_step = make_train_step(config, model, tx)
+
+    t_compile0 = time.perf_counter()
+    for _ in range(warmup):
+        state, metrics = train_step(state, dev_batch)
+    jax.block_until_ready(metrics["loss"])
+    compile_sec = time.perf_counter() - t_compile0
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = train_step(state, dev_batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = steps / dt
+    return {
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "n_chips": n_chips,
+        "mode": mode,
+        "task": task_type,
+        "compute_dtype": compute_dtype,
+        "batch_size": batch_size,
+        "fixdim": fixdim,
+        "steps_per_sec": steps_per_sec,
+        "bags_per_sec": steps_per_sec * batch_size,
+        "bags_per_sec_per_chip": steps_per_sec * batch_size / n_chips,
+        "step_ms": 1000.0 * dt / steps,
+        "warmup_plus_compile_sec": compile_sec,
+        "loss": float(metrics["loss"]),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--fixdim", type=int, default=2500)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument("--mode", type=str, default="deformpathomic")
+    ap.add_argument("--task", type=str, default="diag2021")
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--full", action="store_true", help="print full result dict")
+    args = ap.parse_args()
+
+    result = measure(batch_size=args.batch_size, fixdim=args.fixdim,
+                     steps=args.steps, warmup=args.warmup,
+                     compute_dtype=args.dtype, task_type=args.task, mode=args.mode,
+                     use_pallas=not args.no_pallas)
+
+    vs_baseline = 0.0
+    baseline_path = os.path.join(REPO, "benchmarks", "baseline_reference.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        if (baseline.get("batch_size") == args.batch_size
+                and baseline.get("fixdim") == args.fixdim):
+            vs_baseline = result["bags_per_sec_per_chip"] / baseline["bags_per_sec"]
+
+    line = {"metric": f"{args.mode}_train_bags_per_sec_per_chip",
+            "value": round(result["bags_per_sec_per_chip"], 3),
+            "unit": "bags/s/chip",
+            "vs_baseline": round(vs_baseline, 3)}
+    if args.full:
+        print(json.dumps(result, indent=2))
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()
