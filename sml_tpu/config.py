@@ -133,6 +133,7 @@ class Config:
     # --- model ---
     mode: str = "deformpathomic"          # path|omic|pathomic|pathomic_original|mcat|cmta|deformpathomic
     attn_dim: int = 2
+    path_arch: str = "abmil"              # path-mode backbone: "abmil" | "transmil"
 
     # --- task ---
     task_type: str = "diag2021"           # diag2021 | survival | grade | subtype

@@ -11,7 +11,7 @@ Mode -> class (reference ``models/model.py:49-79``):
 """
 
 from sml_tpu.models.maxnet import MaxNet
-from sml_tpu.models.mil import ABMIL, TransMIL, TransLayer
+from sml_tpu.models.mil import ABMIL, GatedABMIL, TransMIL, TransLayer
 from sml_tpu.models.pathomic import PathomicNet, PathomicNetOriginal
 from sml_tpu.models.deform import DeformCrossTransMIL, DeformPathomicNet
 from sml_tpu.models.mcat import MCATSurv

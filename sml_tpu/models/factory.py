@@ -46,6 +46,9 @@ def define_net(config: Config) -> nn.Module:
     dtype = _dtype(config)
     mode = config.mode
     if mode == "path":
+        if getattr(config, "path_arch", "abmil") == "transmil":
+            return TransMIL(label_dim=config.label_dim, path_dim=config.path_dim,
+                            dtype=dtype)
         return ABMIL(label_dim=config.label_dim, path_dim=config.path_dim,
                      input_path_dim=config.input_path_dim, dtype=dtype)
     if mode == "omic":

@@ -47,6 +47,29 @@ class ABMIL(nn.Module):
         return {"features": encoded, "logits": logits, "attention": a}
 
 
+class GatedABMIL(nn.Module):
+    """Gated attention MIL (reference ``models/mil.py:102-168``; unused by any mode but
+    kept for inventory parity).  Returns probs/logits over 2 classes."""
+    label_dim: int = 2
+    input_path_dim: int = 1024
+    attn_hidden: int = 128
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x_path: jnp.ndarray, deterministic: bool = False
+                 ) -> Dict[str, jnp.ndarray]:
+        b = x_path.shape[0]
+        dense = lambda f, name: nn.Dense(f, kernel_init=torch_kernel_init,
+                                         dtype=self.dtype, name=name)
+        a_v = nn.tanh(dense(self.attn_hidden, "attention_V")(x_path))
+        a_u = nn.sigmoid(dense(self.attn_hidden, "attention_U")(x_path))
+        a = dense(1, "attention_weights")(a_v * a_u)            # (B, N, 1)
+        a = nn.softmax(a.transpose(0, 2, 1), axis=-1)           # (B, 1, N)
+        m = jnp.einsum("bkn,bnl->bkl", a, x_path).reshape(b, -1)
+        logits = dense(self.label_dim, "classifier")(m)
+        return {"logits": logits, "probs": nn.sigmoid(logits), "attention": a}
+
+
 class TransLayer(nn.Module):
     """Pre-norm Nystrom attention residual block (reference ``models/mil.py:171-189``)."""
     dim: int = 512

@@ -125,3 +125,59 @@ class NystromAttention(nn.Module):
             attn = attn1 @ attn2_inv @ attn3
             return out, attn
         return out
+
+
+class PreNorm(nn.Module):
+    """LayerNorm before a wrapped callable (reference ``NystromAttention.py:161-169``)."""
+    fn: nn.Module
+
+    @nn.compact
+    def __call__(self, x, **kwargs):
+        return self.fn(nn.LayerNorm(name="norm")(x), **kwargs)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = False):
+        h = nn.Dense(self.dim * self.mult, kernel_init=torch_kernel_init,
+                     dtype=self.dtype)(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.Dense(self.dim, kernel_init=torch_kernel_init, dtype=self.dtype)(h)
+
+
+class Nystromformer(nn.Module):
+    """Full Nystrom transformer encoder (reference ``NystromAttention.py:184-212``)."""
+    dim: int
+    depth: int
+    dim_head: int = 64
+    heads: int = 8
+    num_landmarks: int = 256
+    pinv_iterations: int = 6
+    attn_values_residual: bool = True
+    attn_values_residual_conv_kernel: int = 33
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = False):
+        for i in range(self.depth):
+            attn = PreNorm(NystromAttention(
+                dim=self.dim, dim_head=self.dim_head, heads=self.heads,
+                num_landmarks=self.num_landmarks,
+                pinv_iterations=self.pinv_iterations,
+                residual=self.attn_values_residual,
+                residual_conv_kernel=self.attn_values_residual_conv_kernel,
+                dropout=self.attn_dropout, dtype=self.dtype),
+                name=f"attn{i}")
+            ff = PreNorm(FeedForward(self.dim, dropout=self.ff_dropout,
+                                     dtype=self.dtype), name=f"ff{i}")
+            x = attn(x, mask=mask, deterministic=deterministic) + x
+            x = ff(x, deterministic=deterministic) + x
+        return x

@@ -65,6 +65,44 @@ def nll_surv_loss(hazards: jnp.ndarray, s: Optional[jnp.ndarray], y: jnp.ndarray
     return loss.mean()
 
 
+def ce_surv_loss(hazards: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray,
+                 c: jnp.ndarray, alpha: float = 0.4, eps: float = 1e-7) -> jnp.ndarray:
+    """Cross-entropy survival loss (reference ``models/cmta_utils.py:1160-1177``)."""
+    y = y.astype(jnp.int32)[:, None]
+    c = c.astype(hazards.dtype)[:, None]
+    if s is None:
+        s = jnp.cumprod(1.0 - hazards, axis=1)
+    s_padded = jnp.concatenate([jnp.ones_like(c), s], axis=1)
+    gather = lambda t, idx: jnp.take_along_axis(t, idx, axis=1)
+    reg = -(1.0 - c) * (jnp.log(gather(s_padded, y) + eps)
+                        + jnp.log(jnp.clip(gather(hazards, y), min=eps)))
+    ce_l = (-c * jnp.log(jnp.clip(gather(s, y), min=eps))
+            - (1.0 - c) * jnp.log(jnp.clip(1.0 - gather(s, y), min=eps)))
+    return ((1.0 - alpha) * ce_l + alpha * reg).mean()
+
+
+def define_loss(survival_loss: str):
+    """Loss-zoo dispatch (reference ``models/cmta_utils.py:1091-1118``): returns a
+    callable or [survival_loss, auxiliary_loss] pair."""
+    table = {
+        "ce_surv": lambda h, s, y, c: ce_surv_loss(h, s, y, c, alpha=0.0),
+        "nll_surv": lambda h, s, y, c: nll_surv_loss(h, s, y, c, alpha=0.0),
+        "cox_surv": cox_loss,
+    }
+    if survival_loss in table:
+        return table[survival_loss]
+    aux = {
+        "nll_surv_kl": kl_loss,
+        "nll_surv_mse": lambda a, b: jnp.mean((a - b) ** 2),
+        "nll_surv_l1": l1_loss,
+        "nll_surv_cos": cosine_loss,
+        "nll_surv_ol": lambda p, ph, g, gh: orthogonal_loss(p, ph, g, gh, gamma=0.5),
+    }
+    if survival_loss in aux:
+        return [table["nll_surv"], aux[survival_loss]]
+    raise NotImplementedError(survival_loss)
+
+
 def cox_loss(survtime: jnp.ndarray, censor: jnp.ndarray,
              hazard_pred: jnp.ndarray) -> jnp.ndarray:
     """Cox partial likelihood (reference ``utils/utils.py:293-308``; unused by active
