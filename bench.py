@@ -50,18 +50,32 @@ def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
     dev_batch = shard_batch(mesh, batch)
     train_step = make_train_step(config, model, tx)
 
+    import numpy as np
+
+    def sync(m):
+        # block_until_ready does not actually await completion through the axon
+        # tunnel; a host fetch of a value data-dependent on the whole chain does.
+        return float(np.asarray(m["loss"]))
+
     t_compile0 = time.perf_counter()
     for _ in range(warmup):
         state, metrics = train_step(state, dev_batch)
-    jax.block_until_ready(metrics["loss"])
+    sync(metrics)
     compile_sec = time.perf_counter() - t_compile0
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = train_step(state, dev_batch)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    # two-point measurement cancels the tunnel round-trip fixed cost
+    def run(n):
+        nonlocal state, metrics
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = train_step(state, dev_batch)
+        sync(metrics)
+        return time.perf_counter() - t0
 
+    small = max(steps // 5, 1)
+    t_small = run(small)
+    t_big = run(steps + small)
+    dt = t_big - t_small
     steps_per_sec = steps / dt
     return {
         "platform": jax.devices()[0].platform,
