@@ -78,6 +78,8 @@ class Config:
     checkpoints: str = "./checkpoints"
     novalset: bool = False
     synthetic_size: int = 256             # samples per synthetic split (train)
+    packed_dir: str = ""                  # dir with {Train,Val,Test}.bin packed data
+                                          # (see scripts/pack_data.py); "" = per-sample readers
 
     # --- distributed ---
     workers: int = 0                      # host-side prefetch threads (0 = sync)

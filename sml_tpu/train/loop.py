@@ -31,14 +31,29 @@ def setup(config: Config, mesh=None):
     """Build (mesh, model, state, train_step, eval_step, loaders)."""
     mesh = mesh or make_mesh(config)
 
-    train_ds = build_datasets(config, "Train")
-    test_ds = build_datasets(config, "Test")
-    val_ds = None if config.novalset else build_datasets(config, "Val")
+    if config.packed_dir:
+        # packed binary splits + native C++ prefetch (scripts/pack_data.py)
+        from sml_tpu.data.packed import PackedLoader
 
-    train_loader = Loader(train_ds, config.batch_size, shuffle=True, drop_last=True,
-                          seed=config.seed, workers=config.workers)
-    test_loader = Loader(test_ds, config.batch_size)
-    val_loader = None if val_ds is None else Loader(val_ds, config.batch_size)
+        def packed(phase, **kw):
+            return PackedLoader(os.path.join(config.packed_dir, f"{phase}.bin"),
+                                config.batch_size, workers=max(config.workers, 2),
+                                **kw)
+
+        train_loader = packed("Train", shuffle=True, drop_last=True,
+                              seed=config.seed)
+        test_loader = packed("Test")
+        val_loader = None if config.novalset else packed("Val")
+    else:
+        train_ds = build_datasets(config, "Train")
+        test_ds = build_datasets(config, "Test")
+        val_ds = None if config.novalset else build_datasets(config, "Val")
+
+        train_loader = Loader(train_ds, config.batch_size, shuffle=True,
+                              drop_last=True, seed=config.seed,
+                              workers=config.workers)
+        test_loader = Loader(test_ds, config.batch_size)
+        val_loader = None if val_ds is None else Loader(val_ds, config.batch_size)
 
     model = define_net(config)
     rng = jax.random.PRNGKey(config.seed)

@@ -50,6 +50,31 @@ def get_score_importances(score_func: Callable[[np.ndarray], float], x: np.ndarr
     return base_score, decreases
 
 
+def gradient_importance(loss_fn: Callable, batch: Dict[str, np.ndarray],
+                        omic_key: str = "x_omic", steps: int = 16) -> np.ndarray:
+    """Integrated-gradients attribution over gene inputs.
+
+    Replaces the reference's ad-hoc ``shap.DeepExplainer`` path
+    (``utils/feature_importance.py:37-72``, which has a broken ``pd.read`` call) with
+    an in-framework, jit-friendly attribution: integrate d loss / d omic along the
+    straight path from a zero baseline, multiply by the input.
+
+    loss_fn: (omic_array, batch) -> scalar.  Returns per-gene attribution, averaged
+    over the batch (absolute values summed).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    omic = jnp.asarray(batch[omic_key])
+    grad_fn = jax.jit(jax.grad(lambda o: loss_fn(o, batch)))
+
+    total = jnp.zeros_like(omic)
+    for k in range(1, steps + 1):
+        total = total + grad_fn(omic * (k / steps))
+    ig = omic * total / steps
+    return np.abs(np.asarray(ig)).mean(axis=0)
+
+
 def ablation_importance(predict_probs: Callable[[Dict[str, np.ndarray]], np.ndarray],
                         batches: List[Dict[str, np.ndarray]], labels: np.ndarray,
                         gene_indices: Optional[Sequence[int]] = None,
