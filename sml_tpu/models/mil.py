@@ -30,14 +30,17 @@ class ABMIL(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x_path: jnp.ndarray, deterministic: bool = False
-                 ) -> Dict[str, jnp.ndarray]:
+    def __call__(self, x_path: jnp.ndarray, deterministic: bool = False,
+                 mask: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
         b, n, l = x_path.shape
         a = nn.tanh(nn.Dense(self.attn_hidden, kernel_init=torch_kernel_init,
                              dtype=self.dtype, name="attention_0")(x_path))
         a = nn.Dense(self.n_attn_heads, kernel_init=torch_kernel_init,
                      dtype=self.dtype, name="attention_1")(a)          # (B, N, K)
-        a = nn.softmax(a.transpose(0, 2, 1), axis=-1)                  # (B, K, N)
+        a = a.transpose(0, 2, 1)                                       # (B, K, N)
+        if mask is not None:  # padded-bag support: padded patches get zero attention
+            a = jnp.where(mask[:, None, :], a, -jnp.inf)
+        a = nn.softmax(a, axis=-1)
         m = jnp.einsum("bkn,bnl->bkl", a, x_path).reshape(b, -1)       # (B, K*L)
 
         logits = nn.Dense(self.label_dim, kernel_init=torch_kernel_init,
@@ -77,12 +80,13 @@ class TransLayer(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = False,
+                 mask: jnp.ndarray = None) -> jnp.ndarray:
         y = nn.LayerNorm(name="norm")(x)
         y = NystromAttention(dim=self.dim, dim_head=self.dim // 8, heads=8,
                              num_landmarks=self.dim // 2, pinv_iterations=6,
                              residual=True, dropout=self.dropout, dtype=self.dtype,
-                             name="attn")(y, deterministic=deterministic)
+                             name="attn")(y, mask=mask, deterministic=deterministic)
         return x + y
 
 
@@ -93,8 +97,8 @@ class TransMIL(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x_path: jnp.ndarray, deterministic: bool = False
-                 ) -> Dict[str, jnp.ndarray]:
+    def __call__(self, x_path: jnp.ndarray, deterministic: bool = False,
+                 mask: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
         b, n, _ = x_path.shape
         h = nn.relu(nn.Dense(self.hidden_dim, kernel_init=torch_kernel_init,
                              dtype=self.dtype, name="fc1")(x_path))
@@ -103,16 +107,20 @@ class TransMIL(nn.Module):
         add_length = side * side - n
         if add_length:
             h = jnp.concatenate([h, h[:, :add_length]], axis=1)
+            if mask is not None:
+                mask = jnp.concatenate([mask, mask[:, :add_length]], axis=1)
 
         cls = self.param("cls_token", nn.initializers.normal(1.0),
                          (1, 1, self.hidden_dim))
         h = jnp.concatenate([jnp.tile(cls, (b, 1, 1)).astype(h.dtype), h], axis=1)
+        if mask is not None:  # cls token always attends/attended
+            mask = jnp.concatenate([jnp.ones((b, 1), bool), mask], axis=1)
 
         h = TransLayer(self.hidden_dim, dtype=self.dtype, name="layer1")(
-            h, deterministic=deterministic)
+            h, deterministic=deterministic, mask=mask)
         h = PPEG(self.hidden_dim, dtype=self.dtype, name="pos_layer")(h, side, side)
         h = TransLayer(self.hidden_dim, dtype=self.dtype, name="layer2")(
-            h, deterministic=deterministic)
+            h, deterministic=deterministic, mask=mask)
 
         h = nn.LayerNorm(name="norm")(h)[:, 0]
         logits = nn.Dense(self.label_dim, kernel_init=torch_kernel_init,
