@@ -23,21 +23,38 @@ def test_group_ungroup_roundtrip_and_torch_channel_order():
     np.testing.assert_array_equal(np.asarray(_ungroup(g, 4)), np.asarray(x))
 
 
-def test_cpb_chunking_consistency():
+def test_cpb2d_factorized_matches_naive_mlp():
+    """The factorized/block-diagonal CPB must equal the naive dense MLP evaluation
+    (the reference formulation) exactly."""
     rng = np.random.default_rng(1)
-    b, g, i, j = 2, 4, 100, 9
-    grid_q = jnp.asarray(rng.normal(size=(i, 2)).astype(np.float32))
-    grid_kv = jnp.asarray(rng.normal(size=(b * g, j, 2)).astype(np.float32))
+    b, g, hgt, wid, j = 2, 4, 5, 8, 12
+    x_coords = jnp.asarray(np.linspace(-1, 1, wid).astype(np.float32))
+    y_coords = jnp.asarray(np.linspace(-1, 1, hgt).astype(np.float32))
+    grid_kv = jnp.asarray(rng.uniform(-1, 1, size=(b * g, j, 2)).astype(np.float32))
 
-    mod_full = CPB2D(dim=16, heads=8, offset_groups=g, query_chunk=0)
-    params = mod_full.init(jax.random.PRNGKey(0), grid_q, grid_kv, b)
-    full = mod_full.apply(params, grid_q, grid_kv, b)
+    mod = CPB2D(dim=16, heads=8, offset_groups=g, row_chunk=0)
+    params = mod.init(jax.random.PRNGKey(0), x_coords, y_coords, grid_kv, b)
+    out = np.asarray(mod.apply(params, x_coords, y_coords, grid_kv, b))
 
-    mod_chunk = CPB2D(dim=16, heads=8, offset_groups=g, query_chunk=17)
-    chunked = mod_chunk.apply(params, grid_q, grid_kv, b)
+    mod_chunk = CPB2D(dim=16, heads=8, offset_groups=g, row_chunk=1)
+    out_chunk = np.asarray(mod_chunk.apply(params, x_coords, y_coords, grid_kv, b))
 
-    assert full.shape == (b, 8, i, j)
-    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), rtol=1e-5, atol=1e-6)
+    # naive oracle: dense pos -> signlog -> 3-layer MLP with the same params
+    p = params["params"]
+    xs, ys = np.meshgrid(np.asarray(x_coords), np.asarray(y_coords))  # (H, W)
+    grid_q = np.stack([xs.ravel(), ys.ravel()], -1)                    # (N, 2) iy*W+ix
+    pos = grid_q[None, :, None, :] - np.asarray(grid_kv)[:, None, :, :]
+    pos = np.sign(pos) * np.log(np.abs(pos) + 1.0)
+    h1 = np.maximum(pos @ np.asarray(p["w0"]) + np.asarray(p["b0"]), 0)
+    h2 = np.maximum(h1 @ np.asarray(p["w1"]) + np.asarray(p["b1"]), 0)
+    naive = h2 @ np.asarray(p["w2"]) + np.asarray(p["b2"])             # (BG, N, J, o)
+    o = 8 // g
+    n = hgt * wid
+    naive = naive.reshape(b, g, n, j, o).transpose(0, 1, 4, 2, 3).reshape(b, 8, n, j)
+
+    assert out.shape == (b, 8, n, j)
+    np.testing.assert_allclose(out, naive, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out_chunk, naive, rtol=1e-4, atol=1e-5)
 
 
 def test_offset_conv_spatial_shape_matches_reference():
