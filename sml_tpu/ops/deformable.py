@@ -104,19 +104,28 @@ class CPB2D(nn.Module):
 
     API: x_coords (W,), y_coords (H,) normalized query-grid axes; grid_kv (B*g, J, 2)
     normalized sampled coords.  Returns (B, heads, H*W, J); query index = iy*W + ix.
+
+    ``impl``:
+      * "naive": dense (query, key) displacement MLP, chunked over queries — what XLA
+        compiles best in practice (measured: an MXU-"friendly" block-diagonal
+        restructure was 10x slower due to relayouts);
+      * "factorized": the separable layer-1 + block-diagonal layer-2 variant, kept for
+        study/benchmarking.
     """
     dim: int
     heads: int
     offset_groups: int
     depth: int = 2
-    row_chunk: int = 10       # query-grid rows per lax.map chunk
-    block_rows: int = 4       # R: rows packed per block-diagonal matmul (R*dim lanes)
+    impl: str = "naive"
+    query_chunk: int = 512    # naive: query positions per lax.map chunk
+    row_chunk: int = 10       # factorized: query-grid rows per chunk
+    block_rows: int = 4       # factorized: rows per block-diagonal matmul
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x_coords: jnp.ndarray, y_coords: jnp.ndarray,
                  grid_kv: jnp.ndarray, batch: int) -> jnp.ndarray:
-        assert self.depth == 2, "factorized CPB implements the reference depth=2"
+        assert self.depth == 2, "CPB implements the reference depth=2"
         o = self.heads // self.offset_groups
         d = self.dim
         ws = [self.param("w0", torch_kernel_init, (2, d)),
@@ -129,25 +138,59 @@ class CPB2D(nn.Module):
         cdt = self.dtype or jnp.float32
         bg, j, _ = grid_kv.shape
         w, h = x_coords.shape[0], y_coords.shape[0]
+
+        if self.impl == "naive":
+            bias = self._naive(x_coords, y_coords, grid_kv, ws, bs, cdt, o)
+        else:
+            bias = self._factorized(x_coords, y_coords, grid_kv, ws, bs, cdt, o)
+
+        g = self.offset_groups
+        bias = bias.reshape(batch, g, h * w, j, o)
+        bias = bias.transpose(0, 1, 4, 2, 3).reshape(batch, g * o, h * w, j)
+        return bias.astype(jnp.float32)
+
+    def _naive(self, x_coords, y_coords, grid_kv, ws, bs, cdt, o):
+        grid_q = jnp.stack(
+            [jnp.tile(x_coords, y_coords.shape[0]),
+             jnp.repeat(y_coords, x_coords.shape[0])], axis=-1)         # (H*W, 2)
+
+        def mlp(pos):
+            x = pos.astype(cdt)
+            x = nn.relu(jnp.dot(x, ws[0].astype(cdt),
+                                preferred_element_type=jnp.float32).astype(cdt)
+                        + bs[0].astype(cdt))
+            x = nn.relu(jnp.dot(x, ws[1].astype(cdt),
+                                preferred_element_type=jnp.float32).astype(cdt)
+                        + bs[1].astype(cdt))
+            return (jnp.dot(x, ws[2].astype(cdt),
+                            preferred_element_type=jnp.float32).astype(cdt)
+                    + bs[2].astype(cdt))
+
+        pos = grid_q[None, :, None, :] - grid_kv[:, None, :, :]        # (BG, I, J, 2)
+        pos = jnp.sign(pos) * jnp.log(jnp.abs(pos) + 1.0)
+        return _chunked_mlp(pos, mlp, self.query_chunk)                # (BG, I, J, o)
+
+    def _factorized(self, x_coords, y_coords, grid_kv, ws, bs, cdt, o):
+        bg, j, _ = grid_kv.shape
+        w, h = x_coords.shape[0], y_coords.shape[0]
+        d = self.dim
         r = self.block_rows
 
         signlog = lambda p: jnp.sign(p) * jnp.log(jnp.abs(p) + 1.0)
         dx = signlog(x_coords[None, :, None] - grid_kv[:, None, :, 0])  # (BG, W, J)
         dy = signlog(y_coords[None, :, None] - grid_kv[:, None, :, 1])  # (BG, H, J)
 
-        # layer-1 factorization: u over columns, v over rows (+bias)
         u = dx[..., None].astype(cdt) * ws[0][0].astype(cdt)            # (BG, W, J, d)
         v = (dy[..., None].astype(cdt) * ws[0][1].astype(cdt)
              + bs[0].astype(cdt))                                       # (BG, H, J, d)
 
-        # layer-2 block-diagonal packing: R query-grid rows -> one 128-wide matmul
-        w1_blk = jnp.kron(jnp.eye(r, dtype=cdt), ws[1].astype(cdt))     # (R*d, R*d)
+        w1_blk = jnp.kron(jnp.eye(r, dtype=cdt), ws[1].astype(cdt))
         b1_t = jnp.tile(bs[1].astype(cdt), r)
         w2_c = ws[2].astype(cdt)
         b2_c = bs[2].astype(cdt)
-
         assert (w * j) % r == 0, "W*J must divide the block factor"
 
+        @jax.checkpoint
         def row_block(v_blk):                                           # (BG, hb, J, d)
             hb = v_blk.shape[1]
             h1 = nn.relu(v_blk[:, :, None, :, :] + u[:, None, :, :, :])
@@ -162,17 +205,10 @@ class CPB2D(nn.Module):
 
         chunk = min(self.row_chunk, h) or h
         if h % chunk == 0 and h // chunk > 1:
-            v_chunks = v.reshape(bg, h // chunk, chunk, j, d)
-            v_chunks = jnp.moveaxis(v_chunks, 1, 0)
-            bias = jax.lax.map(row_block, v_chunks)                    # (K, BG, c, W, J, o)
-            bias = jnp.moveaxis(bias, 0, 1).reshape(bg, h, w, j, o)
-        else:
-            bias = row_block(v.reshape(bg, h, j, d))
-
-        g = self.offset_groups
-        bias = bias.reshape(batch, g, h * w, j, o)
-        bias = bias.transpose(0, 1, 4, 2, 3).reshape(batch, g * o, h * w, j)
-        return bias.astype(jnp.float32)
+            v_chunks = jnp.moveaxis(v.reshape(bg, h // chunk, chunk, j, d), 1, 0)
+            bias = jax.lax.map(row_block, v_chunks)
+            return jnp.moveaxis(bias, 0, 1).reshape(bg, h * w, j, o)
+        return row_block(v.reshape(bg, h, j, d)).reshape(bg, h * w, j, o)
 
 
 class CPB1D(nn.Module):

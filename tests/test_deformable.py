@@ -32,12 +32,16 @@ def test_cpb2d_factorized_matches_naive_mlp():
     y_coords = jnp.asarray(np.linspace(-1, 1, hgt).astype(np.float32))
     grid_kv = jnp.asarray(rng.uniform(-1, 1, size=(b * g, j, 2)).astype(np.float32))
 
-    mod = CPB2D(dim=16, heads=8, offset_groups=g, row_chunk=0)
+    mod = CPB2D(dim=16, heads=8, offset_groups=g, impl="naive", query_chunk=0)
     params = mod.init(jax.random.PRNGKey(0), x_coords, y_coords, grid_kv, b)
     out = np.asarray(mod.apply(params, x_coords, y_coords, grid_kv, b))
 
-    mod_chunk = CPB2D(dim=16, heads=8, offset_groups=g, row_chunk=1)
-    out_chunk = np.asarray(mod_chunk.apply(params, x_coords, y_coords, grid_kv, b))
+    variants = [
+        CPB2D(dim=16, heads=8, offset_groups=g, impl="naive", query_chunk=7),
+        CPB2D(dim=16, heads=8, offset_groups=g, impl="factorized", row_chunk=1),
+        CPB2D(dim=16, heads=8, offset_groups=g, impl="factorized", row_chunk=0),
+    ]
+    out_chunk = np.asarray(variants[0].apply(params, x_coords, y_coords, grid_kv, b))
 
     # naive oracle: dense pos -> signlog -> 3-layer MLP with the same params
     p = params["params"]
@@ -55,6 +59,9 @@ def test_cpb2d_factorized_matches_naive_mlp():
     assert out.shape == (b, 8, n, j)
     np.testing.assert_allclose(out, naive, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(out_chunk, naive, rtol=1e-4, atol=1e-5)
+    for variant in variants[1:]:
+        got = np.asarray(variant.apply(params, x_coords, y_coords, grid_kv, b))
+        np.testing.assert_allclose(got, naive, rtol=1e-4, atol=1e-5)
 
 
 def test_offset_conv_spatial_shape_matches_reference():
