@@ -23,7 +23,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
             warmup: int = 3, compute_dtype: str = "bfloat16",
             task_type: str = "diag2021", mode: str = "deformpathomic",
-            use_pallas: bool = True) -> dict:
+            use_pallas: bool = True, device_loop: bool = False) -> dict:
     import jax
 
     from __graft_entry__ import _example_batch
@@ -57,26 +57,59 @@ def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
         # tunnel; a host fetch of a value data-dependent on the whole chain does.
         return float(np.asarray(m["loss"]))
 
-    t_compile0 = time.perf_counter()
-    for _ in range(warmup):
-        state, metrics = train_step(state, dev_batch)
-    sync(metrics)
-    compile_sec = time.perf_counter() - t_compile0
+    if device_loop:
+        # one dispatch runs k steps via lax.scan over the same device-resident batch:
+        # measures the pure-compute step rate without per-dispatch tunnel overhead
+        raw_step = make_train_step(config, model, tx, jit=False)
 
-    # two-point measurement cancels the tunnel round-trip fixed cost
-    def run(n):
-        nonlocal state, metrics
+        def steps_fn(s, k):
+            def body(st, _):
+                st, m = raw_step(st, dev_batch)
+                return st, m["loss"]
+            s, losses = jax.lax.scan(body, s, None, length=k)
+            return s, {"loss": losses[-1]}
+
+        small = 2
+        scan_small = jax.jit(lambda s: steps_fn(s, small))
+        scan_big = jax.jit(lambda s: steps_fn(s, small + steps))
+        t_compile0 = time.perf_counter()
+        _, m = scan_small(state)
+        sync(m)
+        _, m = scan_big(state)
+        sync(m)
+        compile_sec = time.perf_counter() - t_compile0
         t0 = time.perf_counter()
-        for _ in range(n):
+        _, m = scan_small(state)
+        sync(m)
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _, m = scan_big(state)
+        sync(m)
+        t_big = time.perf_counter() - t0
+        dt = t_big - t_small
+        steps_per_sec = steps / dt
+        metrics = m
+    else:
+        t_compile0 = time.perf_counter()
+        for _ in range(warmup):
             state, metrics = train_step(state, dev_batch)
         sync(metrics)
-        return time.perf_counter() - t0
+        compile_sec = time.perf_counter() - t_compile0
 
-    small = max(steps // 5, 1)
-    t_small = run(small)
-    t_big = run(steps + small)
-    dt = t_big - t_small
-    steps_per_sec = steps / dt
+        # two-point measurement cancels the tunnel round-trip fixed cost
+        def run(n):
+            nonlocal state, metrics
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, metrics = train_step(state, dev_batch)
+            sync(metrics)
+            return time.perf_counter() - t0
+
+        small = max(steps // 5, 1)
+        t_small = run(small)
+        t_big = run(steps + small)
+        dt = t_big - t_small
+        steps_per_sec = steps / dt
     return {
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
@@ -105,13 +138,15 @@ def main():
     ap.add_argument("--mode", type=str, default="deformpathomic")
     ap.add_argument("--task", type=str, default="diag2021")
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--device_loop", action="store_true",
+                    help="scan steps in one dispatch (pure-compute rate)")
     ap.add_argument("--full", action="store_true", help="print full result dict")
     args = ap.parse_args()
 
     result = measure(batch_size=args.batch_size, fixdim=args.fixdim,
                      steps=args.steps, warmup=args.warmup,
                      compute_dtype=args.dtype, task_type=args.task, mode=args.mode,
-                     use_pallas=not args.no_pallas)
+                     use_pallas=not args.no_pallas, device_loop=args.device_loop)
 
     vs_baseline = 0.0
     baseline_path = os.path.join(REPO, "benchmarks", "baseline_reference.json")

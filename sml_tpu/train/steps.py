@@ -182,7 +182,8 @@ def modulate_classifier_grads(config: Config, grads, params, out, labels):
 # step builders
 # ---------------------------------------------------------------------------
 
-def make_train_step(config: Config, model, tx: optax.GradientTransformation
+def make_train_step(config: Config, model, tx: optax.GradientTransformation,
+                    jit: bool = True
                     ) -> Callable[[TrainState, Dict[str, Any]],
                                   Tuple[TrainState, Dict[str, Any]]]:
     def train_step(state: TrainState, batch: Dict[str, Any]):
@@ -214,7 +215,30 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation
         metrics = {"loss": loss, **aux}
         return new_state, metrics
 
+    if not jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_epoch_scan(config: Config, model, tx: optax.GradientTransformation,
+                    num_steps: int):
+    """Device-loop trainer: ONE dispatch runs ``num_steps`` train steps via lax.scan
+    over stacked device-resident batches (B-leading axis num_steps).
+
+    Amortizes per-dispatch host/tunnel overhead; use when an epoch (or a chunk of it)
+    fits on device — e.g. packed/synthetic data.  Returns jitted
+    (state, batches) -> (state, stacked metrics).
+    """
+    step = make_train_step(config, model, tx, jit=False)
+
+    def epoch(state: TrainState, batches: Dict[str, Any]):
+        def body(s, batch):
+            s, m = step(s, batch)
+            return s, m
+
+        return jax.lax.scan(body, state, batches, length=num_steps)
+
+    return jax.jit(epoch, donate_argnums=(0,))
 
 
 def make_eval_step(config: Config, model) -> Callable[..., Dict[str, jnp.ndarray]]:
