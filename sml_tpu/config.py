@@ -125,6 +125,9 @@ class Config:
     use_pallas: bool = True               # use fused Pallas kernels on TPU where available
     eval_every_iters: int = 0             # reference evals every 10 iters; 0 = per-epoch only
     remat: bool = False                   # jax.checkpoint the heavy branches
+    device_loop: bool = False             # scan a whole epoch in ONE dispatch
+                                          # (amortizes host/dispatch overhead; epoch
+                                          # batches must fit in HBM)
 
     # --- losses ---
     gradient_modulate: bool = True

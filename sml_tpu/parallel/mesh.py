@@ -33,6 +33,16 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis_name: str = "data"
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def shard_stacked_batches(mesh: Mesh, batches: Dict[str, Any],
+                          axis_name: str = "data") -> Dict[str, Any]:
+    """Put (num_steps, B, ...) stacked batches on the mesh, sharded on the 2nd axis."""
+    def put(x):
+        spec = P(None, axis_name) if getattr(x, "ndim", 0) >= 2 else P(None)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batches)
+
+
 def replicate_tree(mesh: Mesh, tree: Any) -> Any:
     """Fully replicate a pytree (params / train state) across the mesh."""
     sharding = NamedSharding(mesh, P())

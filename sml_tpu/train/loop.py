@@ -98,26 +98,55 @@ def train(config: Config, logger: Optional[MetricLogger] = None
     cur_iters = 0
     start = time.time()
 
+    epoch_scan = None
+    if config.device_loop:
+        from sml_tpu.models.factory import define_optimizer
+        from sml_tpu.train.steps import make_epoch_scan
+
+        steps_per_epoch = max(len(train_loader), 1)
+        tx = define_optimizer(config, steps_per_epoch)
+        epoch_scan = make_epoch_scan(config, define_net(config), tx,
+                                     num_steps=steps_per_epoch)
+
     for epoch in range(config.start_epoch, config.epochs):
         train_loader.set_epoch(epoch)
-        for batch in train_loader:
-            batch.pop("sample_mask", None)
-            dev_batch = shard_batch(mesh, batch)
-            state, metrics = train_step(state, dev_batch)
-            cur_iters += 1
+        if epoch_scan is not None:
+            # whole epoch in one dispatch over device-resident stacked batches
+            from sml_tpu.parallel.mesh import shard_stacked_batches
 
-            if (config.eval_every_iters
-                    and cur_iters % config.eval_every_iters == 0):
-                variables = state.model_variables()
-                test_m = evaluate(config, eval_step, variables, test_loader, mesh)
-                log = {"training": {k: float(v) for k, v in metrics.items()},
-                       "test": test_m}
-                if val_loader is not None:
-                    log["validation"] = evaluate(config, eval_step, variables,
-                                                 val_loader, mesh)
-                logger.log(log)
-            elif cur_iters % 10 == 0:
-                logger.log({"training": {k: float(v) for k, v in metrics.items()}})
+            host_batches = []
+            for b in train_loader:
+                b.pop("sample_mask", None)
+                host_batches.append(b)
+            stacked = {k: np.stack([b[k] for b in host_batches])
+                       for k in host_batches[0]}
+            dev_batches = shard_stacked_batches(mesh, stacked)
+            state, metrics_stack = epoch_scan(state, dev_batches)
+            cur_iters += len(host_batches)
+            metrics = {k: v[-1] for k, v in metrics_stack.items()}
+            logger.log({"training": {k: float(np.mean(v))
+                                     for k, v in metrics_stack.items()}})
+        else:
+            for batch in train_loader:
+                batch.pop("sample_mask", None)
+                dev_batch = shard_batch(mesh, batch)
+                state, metrics = train_step(state, dev_batch)
+                cur_iters += 1
+
+                if (config.eval_every_iters
+                        and cur_iters % config.eval_every_iters == 0):
+                    variables = state.model_variables()
+                    test_m = evaluate(config, eval_step, variables, test_loader,
+                                      mesh)
+                    log = {"training": {k: float(v) for k, v in metrics.items()},
+                           "test": test_m}
+                    if val_loader is not None:
+                        log["validation"] = evaluate(config, eval_step, variables,
+                                                     val_loader, mesh)
+                    logger.log(log)
+                elif cur_iters % 10 == 0:
+                    logger.log({"training": {k: float(v)
+                                             for k, v in metrics.items()}})
 
         # ---- per-epoch eval + best-on-val checkpoint (reference :263-290) ----
         variables = state.model_variables()

@@ -1,0 +1,64 @@
+"""Device-loop (epoch-in-one-dispatch) trainer: equivalence with per-step training."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sml_tpu.config import Config
+from sml_tpu.models.factory import define_net, define_optimizer, init_model
+from sml_tpu.train.state import TrainState
+from sml_tpu.train.steps import make_epoch_scan, make_train_step
+
+from tests.test_models import make_batch, small_config
+
+
+def test_epoch_scan_matches_per_step():
+    config = small_config(mode="omic", batch_size=4, gradient_modulate=False,
+                          return_vgrid=False)
+    model = define_net(config)
+    rng = np.random.default_rng(0)
+
+    batches = []
+    for i in range(3):
+        b = make_batch(config, np.random.default_rng(i))
+        labels = np.zeros((4, 12), np.float32)
+        labels[:, 5] = (np.arange(4) + i) % 4
+        b["labels"] = jnp.asarray(labels)
+        batches.append(b)
+
+    def fresh_state():
+        variables = init_model(config, model, jax.random.PRNGKey(0), batches[0])
+        tx = define_optimizer(config, steps_per_epoch=3)
+        return tx, TrainState.create(variables, tx, jax.random.PRNGKey(1))
+
+    # per-step
+    tx, state_a = fresh_state()
+    step = make_train_step(config, model, tx)
+    losses_a = []
+    for b in batches:
+        state_a, m = step(state_a, b)
+        losses_a.append(float(m["loss"]))
+
+    # device loop
+    tx, state_b = fresh_state()
+    epoch_scan = make_epoch_scan(config, model, tx, num_steps=3)
+    stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+    state_b, metrics = epoch_scan(state_b, stacked)
+    losses_b = [float(x) for x in np.asarray(metrics["loss"])]
+
+    np.testing.assert_allclose(losses_a, losses_b, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state_a.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(state_b.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_device_loop_full_train(tmp_path):
+    from sml_tpu.train.loop import train
+
+    config = Config(dataset="synthetic", synthetic_size=32, fixdim=64, batch_size=8,
+                    epochs=2, mode="omic", gradient_modulate=False,
+                    return_vgrid=False, device_loop=True,
+                    checkpoints=str(tmp_path / "ck"), debug=True)
+    state, best = train(config)
+    assert best
