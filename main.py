@@ -13,11 +13,11 @@ import sys
 
 
 def main(argv=None) -> int:
-    from sml_tpu.config import Config, build_parser, yaml_config_hook
+    from sml_tpu.config import Config, build_parser, full_cli_config, yaml_config_hook
 
     cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "config", "config_mine.yaml")
-    yaml_cfg = yaml_config_hook(cfg_path)
+    yaml_cfg = full_cli_config(yaml_config_hook(cfg_path))
     parser = build_parser(yaml_cfg)
     args = parser.parse_args(argv)
     config = Config(**vars(args))

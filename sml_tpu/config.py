@@ -199,3 +199,16 @@ def _annotated_keys(cls) -> List[str]:
     for klass in reversed(cls.__mro__):
         keys.extend(getattr(klass, "__annotations__", {}).keys())
     return keys
+
+
+def config_defaults() -> Dict[str, Any]:
+    """All known Config knobs with their defaults (for full CLI exposure)."""
+    return {k: getattr(Config, k) for k in _annotated_keys(Config) if k != "debug"}
+
+
+def full_cli_config(yaml_cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Merge YAML over Config defaults so every knob gets a --flag, with YAML values
+    (and hence the file the user edits) taking precedence."""
+    merged = config_defaults()
+    merged.update(yaml_cfg)
+    return merged
