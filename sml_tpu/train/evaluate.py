@@ -37,12 +37,13 @@ def evaluate(config: Config, eval_step: Callable, variables, loader,
 
     if config.task_type == "survival":
         risk = np.concatenate(risks, axis=0)
-        result["cindex"] = cindex(risk, labels[:, 9], labels[:, 11])
+        result["cindex"] = float(cindex(risk, labels[:, 9], labels[:, 11]))
         return result
 
     act = np.concatenate(probs, axis=0)
     gt = labels[:, TASK_LABEL_SLOT[config.task_type]]
     acc, f1, auc, bac, sens, spec, prec = compute_avg_metrics(gt, act)
-    result.update({"acc": acc, "f1": f1, "auc": auc, "bac": bac, "sens": sens,
-                   "spec": spec, "prec": prec})
+    result.update({"acc": float(acc), "f1": float(f1), "auc": float(auc),
+                   "bac": float(bac), "sens": float(sens), "spec": float(spec),
+                   "prec": float(prec)})
     return result
