@@ -202,7 +202,11 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
         (loss, (out, new_bs, aux)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
 
-        if config.mode == "deformpathomic" and config.gradient_modulate:
+        if (config.mode == "deformpathomic" and config.gradient_modulate
+                and config.fusion_type == "concat"):
+            # modulation splits the fused classifier kernel into tumor/immune halves,
+            # which only exists under concat fusion (reference assumes the same:
+            # train_test.py:90-93 slices weight[:, :mmhid] / [:, mmhid:])
             grads = modulate_classifier_grads(config, grads, state.params, out, labels)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
