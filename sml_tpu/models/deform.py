@@ -42,6 +42,7 @@ class DeformCrossTransLayer(nn.Module):
     attn_dim: int = 2
     dropout: float = 0.1
     cpb_query_chunk: int = 512
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -60,7 +61,7 @@ class DeformCrossTransLayer(nn.Module):
             dim=self.dim, dim_head=64, heads=8, dropout=self.dropout,
             downsample_factor=4, offset_scale=4.0, offset_groups=8,
             offset_kernel_size=6, cpb_query_chunk=self.cpb_query_chunk,
-            dtype=self.dtype, name="attn2d")
+            use_pallas=self.use_pallas, dtype=self.dtype, name="attn2d")
         if return_vgrid:
             out, vgrid = attn(n1, n2, return_vgrid=True, deterministic=deterministic)
             return x1 + out, vgrid
@@ -76,6 +77,7 @@ class DeformCrossTransMIL(nn.Module):
     return_vgrid: bool = True
     dropout: float = 0.1
     cpb_query_chunk: int = 512
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -93,6 +95,7 @@ class DeformCrossTransMIL(nn.Module):
         layer = DeformCrossTransLayer(dim=self.path_dim, attn_dim=self.attn_dim,
                                       dropout=self.dropout,
                                       cpb_query_chunk=self.cpb_query_chunk,
+                                      use_pallas=self.use_pallas,
                                       dtype=self.dtype, name="layer3")
         vgrid = None
         if self.attn_dim == 1:
@@ -145,6 +148,7 @@ class DeformPathomicNet(nn.Module):
     omic_scale: int = 1
     remat: bool = False
     cpb_query_chunk: int = 512
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -165,7 +169,8 @@ class DeformPathomicNet(nn.Module):
             mil = mil_cls(n_classes=self.label_dim, path_dim=self.path_dim,
                           attn_dim=self.attn_dim, return_vgrid=self.return_vgrid,
                           dropout=self.dropout_rate,
-                          cpb_query_chunk=self.cpb_query_chunk, dtype=self.dtype,
+                          cpb_query_chunk=self.cpb_query_chunk,
+                          use_pallas=self.use_pallas, dtype=self.dtype,
                           name=f"pathomic_net_{name}")
             return mil(x_path, omic["features"], deterministic)
 

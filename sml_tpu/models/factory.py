@@ -70,7 +70,10 @@ def define_net(config: Config) -> nn.Module:
     if mode == "cmta":
         return CMTA(label_dim=config.label_dim, dtype=dtype)
     if mode == "deformpathomic":
+        # the fused Pallas eval kernel only lowers on real TPU backends
+        use_pallas = bool(config.use_pallas) and jax.default_backend() == "tpu"
         return DeformPathomicNet(
+            use_pallas=use_pallas,
             label_dim=config.label_dim,
             input_size_omic_tumor=config.input_size_omic_tumor,
             input_size_omic_immune=config.input_size_omic_immune,

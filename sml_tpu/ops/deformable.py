@@ -122,18 +122,45 @@ class CPB2D(nn.Module):
     block_rows: int = 4       # factorized: rows per block-diagonal matmul
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
+    def setup(self):
+        assert self.depth == 2, "CPB implements the reference depth=2"
+        d, o = self.dim, self.heads // self.offset_groups
+        self.w0 = self.param("w0", torch_kernel_init, (2, d))
+        self.w1 = self.param("w1", torch_kernel_init, (d, d))
+        self.w2 = self.param("w2", torch_kernel_init, (d, o))
+        self.b0 = self.param("b0", nn.initializers.zeros, (d,))
+        self.b1 = self.param("b1", nn.initializers.zeros, (d,))
+        self.b2 = self.param("b2", nn.initializers.zeros, (o,))
+
+    def factors(self, x_coords: jnp.ndarray, y_coords: jnp.ndarray,
+                grid_kv: jnp.ndarray):
+        """Separable layer-1 tables + raw layer-2/3 params (for the Pallas kernel).
+
+        Returns (u, v, w1, b1, w2, b2) with
+          u: (BG, dim, W*J) — column table, lane order wcol*J + j ("j fastest",
+             matching ``pltpu.repeat``'s tiling of the per-row table)
+          v: (BG, H, dim, J) — row table (layer-1 bias folded in)
+        """
+        cdt = self.dtype or jnp.float32
+        signlog = lambda p: jnp.sign(p) * jnp.log(jnp.abs(p) + 1.0)
+        dx = signlog(x_coords[None, :, None] - grid_kv[:, None, :, 0])  # (BG, W, J)
+        dy = signlog(y_coords[None, :, None] - grid_kv[:, None, :, 1])  # (BG, H, J)
+        u = dx[:, :, None, :].astype(cdt) * self.w0[0][None, None, :, None].astype(cdt)
+        # u: (BG, W, dim, J) -> (BG, dim, W, J) -> (BG, dim, W*J)
+        u = u.transpose(0, 2, 1, 3)
+        bg, d = u.shape[0], u.shape[1]
+        u = u.reshape(bg, d, -1)
+        v = (dy[:, :, None, :].astype(cdt)
+             * self.w0[1][None, None, :, None].astype(cdt)
+             + self.b0[None, None, :, None].astype(cdt))               # (BG, H, dim, J)
+        return u, v, self.w1.astype(cdt), self.b1.astype(cdt), \
+            self.w2.astype(cdt), self.b2.astype(cdt)
+
     def __call__(self, x_coords: jnp.ndarray, y_coords: jnp.ndarray,
                  grid_kv: jnp.ndarray, batch: int) -> jnp.ndarray:
-        assert self.depth == 2, "CPB implements the reference depth=2"
         o = self.heads // self.offset_groups
-        d = self.dim
-        ws = [self.param("w0", torch_kernel_init, (2, d)),
-              self.param("w1", torch_kernel_init, (d, d)),
-              self.param("w2", torch_kernel_init, (d, o))]
-        bs = [self.param("b0", nn.initializers.zeros, (d,)),
-              self.param("b1", nn.initializers.zeros, (d,)),
-              self.param("b2", nn.initializers.zeros, (o,))]
+        ws = [self.w0, self.w1, self.w2]
+        bs = [self.b0, self.b1, self.b2]
 
         cdt = self.dtype or jnp.float32
         bg, j, _ = grid_kv.shape
@@ -277,6 +304,8 @@ class DeformCrossAttention2D(nn.Module):
     group_queries: bool = True
     group_key_values: bool = True
     cpb_query_chunk: int = 512
+    use_pallas: bool = False      # fused bias+softmax kernel on the no-grad path
+    pallas_interpret: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -331,20 +360,39 @@ class DeformCrossAttention2D(nn.Module):
             return t.reshape(bb, j, heads, self.dim_head).transpose(0, 2, 1, 3)
 
         qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
-        sim = jnp.einsum("bhid,bhjd->bhij", qh, kh)               # (B, h, N, J)
 
         x_axis = 2.0 * jnp.arange(w, dtype=jnp.float32) / max(w - 1, 1) - 1.0
         y_axis = 2.0 * jnp.arange(h, dtype=jnp.float32) / max(h - 1, 1) - 1.0
         grid_kv_scaled = vgrid_scaled.reshape(b * g, hd * wd, 2)
-        bias = CPB2D(self.dim // 4, heads=heads, offset_groups=g, dtype=self.dtype,
-                     name="rel_pos_bias")(x_axis, y_axis, grid_kv_scaled, b)
-        sim = sim + bias
+        cpb = CPB2D(self.dim // 4, heads=heads, offset_groups=g, dtype=self.dtype,
+                    name="rel_pos_bias")
 
-        sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
-        attn = nn.softmax(sim, axis=-1)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        fuse = (self.use_pallas and deterministic and heads == g)
+        if fuse:
+            # fused bias+softmax kernel; the (dim, J*W) CPB activations stay in VMEM
+            from sml_tpu.ops.pallas.deform_attn import fused_bias_attention_weights
 
-        out = jnp.einsum("bhij,bhjd->bhid", attn, vh)             # (B, h, N, dh)
+            u, vtab, w1p, b1p, w2p, b2p = cpb.factors(x_axis, y_axis, grid_kv_scaled)
+            bg = b * g
+            q_bg = qh.reshape(bg, n, self.dim_head)
+            k_bg = kh.reshape(bg, hd * wd, self.dim_head)
+            rows = max(d for d in range(1, min(h, 10) + 1) if h % d == 0)
+            attn = fused_bias_attention_weights(
+                q_bg, k_bg, u, vtab, w1p, b1p, w2p, b2p, rows_per_block=rows,
+                interpret=self.pallas_interpret)                        # (BG, N, J)
+            out = jnp.einsum("bnj,bjd->bnd", attn,
+                             vh.reshape(bg, hd * wd, self.dim_head))
+            out = out.reshape(b, heads, n, self.dim_head)
+        else:
+            sim = jnp.einsum("bhid,bhjd->bhij", qh, kh)           # (B, h, N, J)
+            bias = cpb(x_axis, y_axis, grid_kv_scaled, b)
+            sim = sim + bias
+
+            sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
+            attn = nn.softmax(sim, axis=-1)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, vh)         # (B, h, N, dh)
+
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, inner_dim)
         out = conv1x1(self.dim, 1, True, "to_out")(out)
         out = out.reshape(b, n, self.dim)

@@ -1,0 +1,101 @@
+"""Fused CPB-bias+attention Pallas kernel vs the XLA path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sml_tpu.ops.deformable import CPB2D, DeformCrossAttention2D
+from sml_tpu.ops.pallas.deform_attn import fused_bias_attention_weights
+
+
+def test_kernel_matches_reference_math():
+    """Direct kernel check against a dense numpy evaluation."""
+    rng = np.random.default_rng(0)
+    bg, d, hgt, wid, j, dm = 4, 8, 6, 5, 4, 16
+    n = hgt * wid
+    q = rng.normal(size=(bg, n, d)).astype(np.float32)
+    k = rng.normal(size=(bg, j, d)).astype(np.float32)
+    # factor tables with known structure; u lane order = w*J + j (j fastest)
+    u4 = rng.normal(size=(bg, wid, dm, j)).astype(np.float32)   # (BG, W, dm, J)
+    u = np.ascontiguousarray(u4.transpose(0, 2, 1, 3)).reshape(bg, dm, wid * j)
+    v = rng.normal(size=(bg, hgt, dm, j)).astype(np.float32)
+    w1 = rng.normal(size=(dm, dm)).astype(np.float32) * 0.3
+    b1 = rng.normal(size=(dm,)).astype(np.float32) * 0.1
+    w2 = rng.normal(size=(dm, 1)).astype(np.float32) * 0.3
+    b2 = rng.normal(size=(1,)).astype(np.float32) * 0.1
+
+    attn = np.asarray(fused_bias_attention_weights(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(u), jnp.asarray(v),
+        jnp.asarray(w1), jnp.asarray(b1), jnp.asarray(w2), jnp.asarray(b2),
+        rows_per_block=3, interpret=True))
+
+    # dense oracle
+    for b in range(bg):
+        for iy in range(hgt):
+            for ix in range(wid):
+                h1 = np.maximum(u4[b, ix] + v[b, iy], 0)          # (dm, J)
+                h2 = np.maximum(w1.T @ h1 + b1[:, None], 0)       # (dm, J)
+                bias = (w2[:, 0] @ h2) + b2[0]                    # (J,)
+                sim = k[b] @ q[b, iy * wid + ix] + bias           # (J,)
+                e = np.exp(sim - sim.max())
+                expect = e / e.sum()
+                np.testing.assert_allclose(attn[b, iy * wid + ix], expect,
+                                           rtol=1e-4, atol=1e-5,
+                                           err_msg=f"b={b} iy={iy} ix={ix}")
+
+
+def test_module_pallas_path_matches_xla_path():
+    """DeformCrossAttention2D with use_pallas (interpret) == the XLA formulation."""
+    rng = np.random.default_rng(1)
+    b, n, c = 2, 64, 16
+    x1 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+
+    common = dict(dim=c, dim_head=8, heads=4, offset_groups=4, dropout=0.0)
+    ref_mod = DeformCrossAttention2D(**common)
+    pal_mod = DeformCrossAttention2D(**common, use_pallas=True,
+                                     pallas_interpret=True)
+
+    params = ref_mod.init(jax.random.PRNGKey(0), x1, x2, deterministic=True)
+    out_ref = ref_mod.apply(params, x1, x2, deterministic=True)
+    out_pal = pal_mod.apply(params, x1, x2, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # vgrid plumbing unaffected
+    o_r, vg_r = ref_mod.apply(params, x1, x2, return_vgrid=True, deterministic=True)
+    o_p, vg_p = pal_mod.apply(params, x1, x2, return_vgrid=True, deterministic=True)
+    np.testing.assert_allclose(np.asarray(vg_p), np.asarray(vg_r), atol=0)
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_r), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_cpb_factors_consistent_with_call():
+    """factors() tables must reproduce __call__'s bias exactly."""
+    rng = np.random.default_rng(2)
+    b, g, hgt, wid, j, dm = 2, 4, 5, 5, 6, 16
+    x_coords = jnp.asarray(np.linspace(-1, 1, wid).astype(np.float32))
+    y_coords = jnp.asarray(np.linspace(-1, 1, hgt).astype(np.float32))
+    grid_kv = jnp.asarray(rng.uniform(-1, 1, size=(b * g, j, 2)).astype(np.float32))
+
+    mod = CPB2D(dim=dm, heads=g, offset_groups=g)
+    params = mod.init(jax.random.PRNGKey(0), x_coords, y_coords, grid_kv, b)
+    bias = np.asarray(mod.apply(params, x_coords, y_coords, grid_kv, b))
+
+    u, v, w1, b1, w2, b2 = mod.apply(params, x_coords, y_coords, grid_kv,
+                                     method=CPB2D.factors)
+    u4 = np.asarray(u).reshape(b * g, dm, wid, j)   # lane order w*J + j
+    v = np.asarray(v)
+    rebuilt = np.zeros((b * g, hgt * wid, j))
+    for bb in range(b * g):
+        for iy in range(hgt):
+            for ix in range(wid):
+                h1 = np.maximum(u4[bb, :, ix, :] + v[bb, iy], 0)
+                h2 = np.maximum(np.asarray(w1).T @ h1 + np.asarray(b1)[:, None], 0)
+                rebuilt[bb, iy * wid + ix] = (np.asarray(w2)[:, 0] @ h2
+                                              + np.asarray(b2)[0])
+    rebuilt = rebuilt.reshape(b, g, hgt * wid, j).reshape(b, g, hgt * wid, j)
+    np.testing.assert_allclose(bias, rebuilt.reshape(b, g, -1, j), rtol=1e-4,
+                               atol=1e-5)
