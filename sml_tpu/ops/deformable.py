@@ -376,9 +376,8 @@ class DeformCrossAttention2D(nn.Module):
             bg = b * g
             q_bg = qh.reshape(bg, n, self.dim_head)
             k_bg = kh.reshape(bg, hd * wd, self.dim_head)
-            rows = max(d for d in range(1, min(h, 10) + 1) if h % d == 0)
             attn = fused_bias_attention_weights(
-                q_bg, k_bg, u, vtab, w1p, b1p, w2p, b2p, rows_per_block=rows,
+                q_bg, k_bg, u, vtab, w1p, b1p, w2p, b2p,
                 interpret=self.pallas_interpret)                        # (BG, N, J)
             out = jnp.einsum("bnj,bjd->bnd", attn,
                              vh.reshape(bg, hd * wd, self.dim_head))

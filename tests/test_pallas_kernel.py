@@ -29,7 +29,7 @@ def test_kernel_matches_reference_math():
     attn = np.asarray(fused_bias_attention_weights(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(u), jnp.asarray(v),
         jnp.asarray(w1), jnp.asarray(b1), jnp.asarray(w2), jnp.asarray(b2),
-        rows_per_block=3, interpret=True))
+        interpret=True))
 
     # dense oracle
     for b in range(bg):
