@@ -1,31 +1,30 @@
-"""Fused CPB-bias + attention-weights Pallas kernel (deformable cross-attention).
+"""Fused CPB (continuous-position-bias) Pallas kernel for deformable cross-attention.
 
-The deformable attention's continuous-position-bias MLP is the model's dominant cost
-(94% of a train step before optimization — see benchmarks/BENCH.md).  This kernel
-fuses, per offset group and query-grid row:
+The deformable attention's CPB MLP is the model's dominant cost (94% of a train step
+before optimization — see benchmarks/BENCH.md).  This kernel fuses, per offset group
+and query-grid row:
 
-    h1   = relu(u + tile(v_row, W))                  layer-1 (separable tables)
-    h2   = relu(w1^T @ h1 + b1)                      layer-2 (dim x dim)
-    bias = (w2^T @ h2 + b2) reshaped (W, J)          layer-3
-    sim  = q_row @ k^T + bias                        attention logits
-    attn = softmax_over_J(sim)
+    h1   = relu(u + tile(v_row, W))      layer-1 from separable factor tables
+    h2   = relu(w1^T @ h1 + b1)          layer-2 (dim x dim)
+    bias = w2^T @ h2 + b2                layer-3 -> one (1, W*J) bias row
 
-so the (dim, W*J) CPB activations never leave VMEM.
+so the (dim, W*J) activations live and die in VMEM — the XLA formulation round-trips
+them (~GBs) through HBM.  The (B*g, H, W*J) bias output is reshaped to (B, heads, N, J)
+by the caller and added to the attention logits; sim+softmax stay in XLA (they fuse
+well, and Mosaic cannot shape-cast the (1, W*J) bias row to (W, J) in-kernel).
 
 Layout notes:
-* lane order of the flattened column table ``u`` is w*J + j ("j fastest"), which is
-  exactly what ``pltpu.repeat(v_row, W, axis=1)`` produces when tiling the per-row
-  table across the W query columns — no in-kernel relayout for layer 1;
-* one grid program per (batch x offset-group); rows are a ``fori_loop`` with dynamic
-  row slices (W=50 query rows can't satisfy Mosaic's %8 sublane block rule, and the
-  single v5e core executes the grid serially anyway);
-* the only relayout is the tiny (1, W*J) -> (W, J) bias reshape per row.
+* lane order of the flattened column table ``u`` is w*J + j ("j fastest"), exactly
+  what ``pltpu.repeat(v_row, W, axis=1)`` produces when tiling the per-row table —
+  layer 1 needs no in-kernel relayout;
+* one grid program per (batch x offset-group); rows are a ``fori_loop`` (W=50 query
+  rows can't satisfy Mosaic's %8 sublane block rule, and the single v5e core executes
+  the grid serially anyway).
 
 Used on the no-grad (eval/inference) path; training keeps the XLA+remat formulation
-(autodiff through the kernel would need a custom backward — measured headroom there
-is ~15%, see BENCH.md).  Reference semantics: ``models/DeformableAttention2D.py``
-120-157 (CPB) + 288-307 (attention); exactness is oracle-tested in
-``tests/test_pallas_kernel.py``.
+(autodiff through the kernel would need a custom backward — measured headroom there is
+~15%, see BENCH.md).  Reference semantics: ``models/DeformableAttention2D.py:120-157``;
+exactness is oracle-tested in ``tests/test_pallas_kernel.py``.
 """
 
 from __future__ import annotations
@@ -38,9 +37,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, u_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, attn_ref,
+def _kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,
             *, h: int, w: int, j: int, dm: int):
-    kk = k_ref[0].astype(jnp.float32)                    # (J, D)
     u = u_ref[0]                                         # (dm, W*J), lanes w*J+j
 
     def body(r, carry):
@@ -52,36 +50,24 @@ def _kernel(q_ref, k_ref, u_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, attn_ref
         h2 = jnp.maximum(h2 + b1_ref[:], 0.0)            # (dm, W*J)
         bias = jnp.dot(w2_ref[:], h2,
                        preferred_element_type=jnp.float32) + b2_ref[0, 0]
-        bias = bias.reshape(w, j)                        # (W, J)
-
-        start = pl.multiple_of(r * w, w)
-        q_row = q_ref[0, pl.ds(start, w), :].astype(jnp.float32)       # (W, D)
-        sim = jax.lax.dot_general(q_row, kk, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32) + bias
-
-        m = jnp.max(sim, axis=-1, keepdims=True)
-        p = jnp.exp(sim - m)
-        attn = p / jnp.sum(p, axis=-1, keepdims=True)
-        attn_ref[0, pl.ds(start, w), :] = attn.astype(attn_ref.dtype)
+        bias_ref[0, r, :] = bias[0].astype(bias_ref.dtype)
         return carry
 
     jax.lax.fori_loop(0, h, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_bias_attention_weights(q: jnp.ndarray, k: jnp.ndarray, u: jnp.ndarray,
-                                 v: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
-                                 w2: jnp.ndarray, b2: jnp.ndarray,
-                                 interpret: bool = False) -> jnp.ndarray:
-    """attn (BG, N, J) from q (BG, N, D) [already scaled], k (BG, J, D), CPB tables.
+def fused_cpb_bias(u: jnp.ndarray, v: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
+                   w2: jnp.ndarray, b2: jnp.ndarray,
+                   interpret: bool = False) -> jnp.ndarray:
+    """bias (BG, H, W*J) [lane order w*J+j] from CPB factor tables.
 
-    u: (BG, dm, W*J) lane order w*J+j;  v: (BG, H, dm, J);  w1 (dm, dm), b1 (dm,),
-    w2 (dm, 1) [one bias head per group], b2 (1,).  N = H*W, query index iy*W + ix.
+    u: (BG, dm, W*J);  v: (BG, H, dm, J);  w1 (dm, dm), b1 (dm,), w2 (dm, 1)
+    [one bias head per group], b2 (1,).
     """
-    bg, n, d = q.shape
-    _, h, dm, j = v.shape
-    w = n // h
-    assert u.shape == (bg, dm, w * j), (u.shape, (bg, dm, w * j))
+    bg, dm, wj = u.shape
+    _, h, _, j = v.shape
+    w = wj // j
 
     kernel = functools.partial(_kernel, h=h, w=w, j=j, dm=dm)
 
@@ -89,10 +75,7 @@ def fused_bias_attention_weights(q: jnp.ndarray, k: jnp.ndarray, u: jnp.ndarray,
         kernel,
         grid=(bg,),
         in_specs=[
-            pl.BlockSpec((1, n, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, j, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dm, w * j), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dm, wj), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, dm, j), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((dm, dm), lambda b: (0, 0), memory_space=pltpu.VMEM),
@@ -100,8 +83,25 @@ def fused_bias_attention_weights(q: jnp.ndarray, k: jnp.ndarray, u: jnp.ndarray,
             pl.BlockSpec((1, dm), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, j), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, h, wj), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bg, n, j), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bg, h, wj), jnp.float32),
         interpret=interpret,
-    )(q, k, u, v, w1, b1.reshape(dm, 1), w2.reshape(1, dm), b2.reshape(1, 1))
+    )(u, v, w1, b1.reshape(dm, 1), w2.reshape(1, dm), b2.reshape(1, 1))
+
+
+def fused_bias_attention_weights(q, k, u, v, w1, b1, w2, b2, interpret=False):
+    """attn (BG, N, J): fused-CPB bias kernel + XLA sim/softmax.
+
+    q (BG, N, D) already scaled; k (BG, J, D); tables as in :func:`fused_cpb_bias`.
+    N = H*W with query index iy*W + ix.
+    """
+    bg, n, d = q.shape
+    _, h, dm, j = v.shape
+    w = n // h
+    bias = fused_cpb_bias(u, v, w1, b1, w2, b2, interpret=interpret)
+    bias = bias.reshape(bg, h * w, j)                    # (BG, N, J): free in XLA
+    sim = jnp.einsum("bnd,bjd->bnj", q.astype(jnp.float32),
+                     k.astype(jnp.float32)) + bias
+    sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
+    return jax.nn.softmax(sim, axis=-1)
