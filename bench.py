@@ -138,8 +138,11 @@ def main():
     ap.add_argument("--mode", type=str, default="deformpathomic")
     ap.add_argument("--task", type=str, default="diag2021")
     ap.add_argument("--no-pallas", action="store_true")
-    ap.add_argument("--device_loop", action="store_true",
-                    help="scan steps in one dispatch (pure-compute rate)")
+    ap.add_argument("--device_loop", action="store_true", default=True,
+                    help="scan steps in one dispatch (production trainer mode; "
+                         "the integrated device-loop trainer runs epochs this way)")
+    ap.add_argument("--host_loop", dest="device_loop", action="store_false",
+                    help="dispatch each step from the host instead")
     ap.add_argument("--full", action="store_true", help="print full result dict")
     args = ap.parse_args()
 
