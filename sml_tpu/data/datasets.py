@@ -91,6 +91,49 @@ class _H5FeatureReader:
             return np.asarray(f["Res_feature"][:])[0]
 
 
+class RawPatchReader:
+    """End-to-end raw-JPEG bag reader (reference ``read_img``, dataset.py:142-186).
+
+    Reads the per-slide patch JPEGs listed in ``read_details/{slide}.npy``, pads by
+    repetition (or uniformly subsamples) to exactly ``fixdim`` patches and returns a
+    (fixdim, 224*224*3) float32 array in [0, 1].  Used with ``if_end2end`` pipelines
+    that train a feature extractor jointly; the default pipeline consumes
+    pre-extracted ResNet-50 features instead.
+    """
+
+    def __init__(self, cohort_dir: str, wsi_root: str, fixdim: int,
+                 patch_size: int = 224):
+        self.cohort_dir = cohort_dir
+        self.wsi_root = wsi_root
+        self.fixdim = fixdim
+        self.patch_size = patch_size
+
+    def _load(self, wsi_path: str, coord) -> np.ndarray:
+        from PIL import Image
+
+        fname = f"{coord[0]}_{coord[1]}.jpg"
+        with Image.open(os.path.join(wsi_path, fname)) as im:
+            return np.asarray(im.convert("RGB"))
+
+    def __call__(self, slide_id: str) -> np.ndarray:
+        details = np.load(os.path.join(self.cohort_dir, "read_details",
+                                       f"{slide_id}.npy"), allow_pickle=True)[0]
+        num = details.shape[0]
+        wsi_path = os.path.join(self.wsi_root, slide_id)
+        max_num = self.fixdim
+
+        if num <= max_num:
+            patches = [self._load(wsi_path, details[i]) for i in range(num)]
+            times, remaining = max_num // num, max_num % num
+            bag = patches * times + patches[:remaining]
+        else:
+            idx = [int(np.around(i * (num / max_num))) for i in range(max_num)]
+            bag = [self._load(wsi_path, details[min(i, num - 1)]) for i in idx]
+
+        arr = np.asarray(bag, dtype=np.float32).reshape(max_num, -1) / 255.0
+        return arr
+
+
 class IvYGAPDataset:
     """Allen-Institute IvYGAP cohort: fpkm gene tables joined by specimen name."""
 

@@ -197,5 +197,35 @@ def define_optimizer(config: Config, steps_per_epoch: int = 1
     return optax.chain(*decay, core, optax.scale_by_learning_rate(sched))
 
 
+def define_act_layer(act_type: str = "Tanh"):
+    """Activation factory (reference ``models/model.py:115-128``)."""
+    import jax.nn
+
+    table = {
+        "Tanh": jnp.tanh,
+        "ReLU": jax.nn.relu,
+        "Sigmoid": jax.nn.sigmoid,
+        "LSM": lambda x: jax.nn.log_softmax(x, axis=1),
+        "none": None,
+    }
+    if act_type not in table:
+        raise NotImplementedError(f"activation layer [{act_type}] is not found")
+    return table[act_type]
+
+
+def define_bifusion(fusion_type: str, skip=1, use_bilinear=1, gate1=1, gate2=1,
+                    dim1=32, dim2=32, scale_dim1=1, scale_dim2=1, mmhid=32,
+                    dropout_rate=0.25, dtype=None):
+    """Fusion-module factory (reference ``models/model.py:131-137``)."""
+    from sml_tpu.ops.fusion import BilinearFusion
+
+    if fusion_type != "pofusion":
+        raise NotImplementedError(f"fusion type [{fusion_type}] is not found")
+    return BilinearFusion(skip=skip, use_bilinear=use_bilinear, gate1=gate1,
+                          gate2=gate2, dim1=dim1, dim2=dim2, scale_dim1=scale_dim1,
+                          scale_dim2=scale_dim2, mmhid=mmhid,
+                          dropout_rate=dropout_rate, dtype=dtype)
+
+
 # alias mirroring the reference's name
 define_scheduler = make_lr_schedule

@@ -76,6 +76,19 @@ def cindex(all_risk_scores: np.ndarray, all_censorships: np.ndarray,
         all_risk_scores, tied_tol=1e-8)[0]
 
 
+def cindex_lifeline(hazards: np.ndarray, event_all: np.ndarray,
+                    survtime_all: np.ndarray) -> float:
+    """Reference ``CIndex_lifeline`` (``utils/utils.py:312-313``): lifelines-style
+    concordance with predicted_scores = -hazards (higher hazard = shorter survival).
+
+    lifelines' estimator equals Harrell's C on event/censored pairs; implemented
+    natively (lifelines is not installed here).
+    """
+    return concordance_index_censored(np.asarray(event_all).astype(bool),
+                                      np.asarray(survtime_all),
+                                      np.asarray(hazards), tied_tol=1e-8)[0]
+
+
 def sensitivity_specificity_macro(y_true: np.ndarray, y_pred: np.ndarray
                                   ) -> Tuple[float, float]:
     """imblearn macro sensitivity (= recall) / specificity from the confusion matrix."""
