@@ -81,6 +81,38 @@ def test_nystrom_mask_blocks_invalid_tokens():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_residual_conv_matches_torch_reference_layout():
+    """The merged-channel depthwise residual conv must equal torch's
+    Conv2d(heads, heads, (33,1), padding=(16,0), groups=heads, bias=False) applied to
+    values laid out (b, heads, n, d) — the reference formulation
+    (NystromAttention.py:69-72, :144-145)."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(7)
+    b, h, n, d = 2, 4, 40, 8
+    kernel_size = 33
+    v_flat = rng.normal(size=(b, n, h * d)).astype(np.float32)   # merged heads
+    kern = rng.normal(size=(kernel_size, h)).astype(np.float32) * 0.1
+
+    # ours: expanded depthwise conv over (b, n, h*d)
+    expanded = jnp.repeat(jnp.asarray(kern), d, axis=1)
+    res = jax.lax.conv_general_dilated(
+        jnp.asarray(v_flat), expanded[:, None, :], window_strides=(1,),
+        padding=[(16, 16)], feature_group_count=h * d,
+        dimension_numbers=("NHC", "HIO", "NHC"))
+
+    # torch: reference layout (b, heads, n, d)
+    v_t = torch.from_numpy(v_flat.reshape(b, n, h, d)).permute(0, 2, 1, 3)
+    conv = torch.nn.Conv2d(h, h, (kernel_size, 1), padding=(16, 0), groups=h,
+                           bias=False)
+    with torch.no_grad():
+        # torch kernel (out=h, in/groups=1, kh, kw); ours is (kh, h)
+        conv.weight.copy_(torch.from_numpy(
+            kern.T[:, None, :, None]))
+    ref = conv(v_t).permute(0, 2, 1, 3).reshape(b, n, h * d).detach().numpy()
+
+    np.testing.assert_allclose(np.asarray(res), ref, rtol=1e-4, atol=1e-5)
+
+
 def test_nystrom_padding_path_and_residual_shapes():
     """n not divisible by landmarks (front-pad path) + depthwise residual conv."""
     rng = np.random.default_rng(3)
