@@ -15,7 +15,13 @@ from sml_tpu.train.metrics import cindex, compute_avg_metrics
 
 def evaluate(config: Config, eval_step: Callable, variables, loader,
              mesh=None) -> Dict[str, float]:
-    """Run a full pass; returns {'cindex'} or the 7 classification metrics + loss."""
+    """Run a full pass; returns {'cindex'} or the 7 classification metrics + loss.
+
+    Quality metrics are computed over exactly the real samples (padded tail rows are
+    mask-filtered).  The reported ``loss`` averages per-batch losses including pad
+    duplicates in the final batch — same spirit as the reference's running test loss
+    (train_test.py:504-509), cosmetically off by the padding on the last batch only.
+    """
     from sml_tpu.parallel.mesh import shard_batch
 
     risks, probs, labels, masks, losses_ = [], [], [], [], []
