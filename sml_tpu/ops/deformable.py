@@ -120,6 +120,7 @@ class CPB2D(nn.Module):
     query_chunk: int = 512    # naive: query positions per lax.map chunk
     row_chunk: int = 10       # factorized: query-grid rows per chunk
     block_rows: int = 4       # factorized: rows per block-diagonal matmul
+    pallas_interpret: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -166,7 +167,15 @@ class CPB2D(nn.Module):
         bg, j, _ = grid_kv.shape
         w, h = x_coords.shape[0], y_coords.shape[0]
 
-        if self.impl == "naive":
+        if self.impl == "pallas":
+            assert o == 1, "pallas CPB assumes one bias head per offset group"
+            from sml_tpu.ops.pallas.deform_attn import cpb_bias_trainable
+
+            u, v, w1c, b1c, w2c, b2c = self.factors(x_coords, y_coords, grid_kv)
+            flat = cpb_bias_trainable(u, v, w1c, b1c, w2c, b2c,
+                                      self.pallas_interpret)   # (BG, H, W*J)
+            bias = flat.reshape(bg, h * w, j, 1)
+        elif self.impl == "naive":
             bias = self._naive(x_coords, y_coords, grid_kv, ws, bs, cdt, o)
         else:
             bias = self._factorized(x_coords, y_coords, grid_kv, ws, bs, cdt, o)
@@ -364,33 +373,21 @@ class DeformCrossAttention2D(nn.Module):
         x_axis = 2.0 * jnp.arange(w, dtype=jnp.float32) / max(w - 1, 1) - 1.0
         y_axis = 2.0 * jnp.arange(h, dtype=jnp.float32) / max(h - 1, 1) - 1.0
         grid_kv_scaled = vgrid_scaled.reshape(b * g, hd * wd, 2)
-        cpb = CPB2D(self.dim // 4, heads=heads, offset_groups=g, dtype=self.dtype,
+        # Pallas fused CPB (custom-VJP: VMEM-resident activations in BOTH directions)
+        # when enabled and one bias head per group; XLA naive+remat otherwise
+        cpb_impl = "pallas" if (self.use_pallas and heads == g) else "naive"
+        cpb = CPB2D(self.dim // 4, heads=heads, offset_groups=g, impl=cpb_impl,
+                    pallas_interpret=self.pallas_interpret, dtype=self.dtype,
                     name="rel_pos_bias")
 
-        fuse = (self.use_pallas and deterministic and heads == g)
-        if fuse:
-            # fused bias+softmax kernel; the (dim, J*W) CPB activations stay in VMEM
-            from sml_tpu.ops.pallas.deform_attn import fused_bias_attention_weights
+        sim = jnp.einsum("bhid,bhjd->bhij", qh, kh)               # (B, h, N, J)
+        bias = cpb(x_axis, y_axis, grid_kv_scaled, b)
+        sim = sim + bias
 
-            u, vtab, w1p, b1p, w2p, b2p = cpb.factors(x_axis, y_axis, grid_kv_scaled)
-            bg = b * g
-            q_bg = qh.reshape(bg, n, self.dim_head)
-            k_bg = kh.reshape(bg, hd * wd, self.dim_head)
-            attn = fused_bias_attention_weights(
-                q_bg, k_bg, u, vtab, w1p, b1p, w2p, b2p,
-                interpret=self.pallas_interpret)                        # (BG, N, J)
-            out = jnp.einsum("bnj,bjd->bnd", attn,
-                             vh.reshape(bg, hd * wd, self.dim_head))
-            out = out.reshape(b, heads, n, self.dim_head)
-        else:
-            sim = jnp.einsum("bhid,bhjd->bhij", qh, kh)           # (B, h, N, J)
-            bias = cpb(x_axis, y_axis, grid_kv_scaled, b)
-            sim = sim + bias
-
-            sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
-            attn = nn.softmax(sim, axis=-1)
-            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-            out = jnp.einsum("bhij,bhjd->bhid", attn, vh)         # (B, h, N, dh)
+        sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
+        attn = nn.softmax(sim, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, vh)             # (B, h, N, dh)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, inner_dim)
         out = conv1x1(self.dim, 1, True, "to_out")(out)
