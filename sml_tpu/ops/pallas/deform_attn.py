@@ -1,30 +1,34 @@
-"""Fused CPB (continuous-position-bias) Pallas kernel for deformable cross-attention.
+"""Fused CPB (continuous-position-bias) Pallas kernels for deformable cross-attention.
 
 The deformable attention's CPB MLP is the model's dominant cost (94% of a train step
-before optimization — see benchmarks/BENCH.md).  This kernel fuses, per offset group
-and query-grid row:
+before optimization — see benchmarks/BENCH.md).  A custom-VJP pair of kernels keeps
+the (dim, W*J) layer activations VMEM-resident in BOTH directions:
 
+forward, per offset group and query-grid row:
     h1   = relu(u + tile(v_row, W))      layer-1 from separable factor tables
     h2   = relu(w1^T @ h1 + b1)          layer-2 (dim x dim)
     bias = w2^T @ h2 + b2                layer-3 -> one (1, W*J) bias row
 
-so the (dim, W*J) activations live and die in VMEM — the XLA formulation round-trips
-them (~GBs) through HBM.  The (B*g, H, W*J) bias output is reshaped to (B, heads, N, J)
-by the caller and added to the attention logits; sim+softmax stay in XLA (they fuse
-well, and Mosaic cannot shape-cast the (1, W*J) bias row to (W, J) in-kernel).
+backward: recompute h1/h2 per row, emit du/dv plus per-program weight-grad partials
+(summed over the batch*group axis outside).  The XLA formulation round-trips the
+activations (~GBs) through HBM even with remat.
 
 Layout notes:
 * lane order of the flattened column table ``u`` is w*J + j ("j fastest"), exactly
-  what ``pltpu.repeat(v_row, W, axis=1)`` produces when tiling the per-row table —
+  what ``pltpu.repeat(v_row, ..., axis=1)`` produces when tiling the per-row table —
   layer 1 needs no in-kernel relayout;
 * one grid program per (batch x offset-group); rows are a ``fori_loop`` (W=50 query
   rows can't satisfy Mosaic's %8 sublane block rule, and the single v5e core executes
-  the grid serially anyway).
+  the grid serially anyway);
+* rows are processed in ``wsplit`` lane chunks so the (dim, W*J) temporaries fit
+  scoped VMEM at large bag sizes (4096-patch bags OOM otherwise);
+* no in-kernel transposes: weight grads use lane-contracting dot_generals and lane
+  reductions (Mosaic cannot shape-cast (1, W*J) -> (W, J), which is also why the bias
+  is returned flat and reshaped by XLA).
 
-Used on the no-grad (eval/inference) path; training keeps the XLA+remat formulation
-(autodiff through the kernel would need a custom backward — measured headroom there is
-~15%, see BENCH.md).  Reference semantics: ``models/DeformableAttention2D.py:120-157``;
-exactness is oracle-tested in ``tests/test_pallas_kernel.py``.
+Reference semantics: ``models/DeformableAttention2D.py:120-157``; values AND gradients
+are oracle-tested against the XLA formulation (tests/test_pallas_kernel.py,
+tests/test_pallas_grad.py).
 """
 
 from __future__ import annotations
@@ -36,21 +40,36 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16MB scoped limit
 
-def _kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,
-            *, h: int, w: int, j: int, dm: int):
+
+def _pick_wsplit(w: int, j: int, dm: int, fixed_bytes: int, n_temps: int) -> int:
+    for s in range(1, w + 1):
+        if w % s:
+            continue
+        per_chunk = n_temps * dm * (w // s) * j * 4
+        if fixed_bytes + per_chunk <= _VMEM_BUDGET:
+            return s
+    return w
+
+
+def _fwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,
+                *, h: int, w: int, j: int, dm: int, wsplit: int):
+    cw = w // wsplit
+    cwj = cw * j
     u = u_ref[0]                                         # (dm, W*J), lanes w*J+j
 
     def body(r, carry):
         v_row = v_ref[0, r]                              # (dm, J)
-        v_rep = pltpu.repeat(v_row, w, axis=1)           # (dm, W*J): [v, v, ... xW]
-        h1 = jnp.maximum(u + v_rep, 0.0)
-        h2 = jnp.dot(w1_ref[:].T, h1.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-        h2 = jnp.maximum(h2 + b1_ref[:], 0.0)            # (dm, W*J)
-        bias = jnp.dot(w2_ref[:], h2,
-                       preferred_element_type=jnp.float32) + b2_ref[0, 0]
-        bias_ref[0, r, :] = bias[0].astype(bias_ref.dtype)
+        v_rep = pltpu.repeat(v_row, cw, axis=1)          # (dm, cw*J)
+        for s in range(wsplit):                          # static lane chunks
+            h1 = jnp.maximum(u[:, s * cwj:(s + 1) * cwj] + v_rep, 0.0)
+            h2 = jnp.dot(w1_ref[:].T, h1.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+            h2 = jnp.maximum(h2 + b1_ref[:], 0.0)        # (dm, cw*J)
+            bias = jnp.dot(w2_ref[:], h2,
+                           preferred_element_type=jnp.float32) + b2_ref[0, 0]
+            bias_ref[0, r, s * cwj:(s + 1) * cwj] = bias[0].astype(bias_ref.dtype)
         return carry
 
     jax.lax.fori_loop(0, h, body, 0)
@@ -60,7 +79,7 @@ def _kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,
 def fused_cpb_bias(u: jnp.ndarray, v: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
                    w2: jnp.ndarray, b2: jnp.ndarray,
                    interpret: bool = False) -> jnp.ndarray:
-    """bias (BG, H, W*J) [lane order w*J+j] from CPB factor tables.
+    """bias (BG, H, W*J) [lane order w*J+j, dtype of u] from CPB factor tables.
 
     u: (BG, dm, W*J);  v: (BG, H, dm, J);  w1 (dm, dm), b1 (dm,), w2 (dm, 1)
     [one bias head per group], b2 (1,).
@@ -68,8 +87,11 @@ def fused_cpb_bias(u: jnp.ndarray, v: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndar
     bg, dm, wj = u.shape
     _, h, _, j = v.shape
     w = wj // j
+    usize = jnp.dtype(u.dtype).itemsize
+    fixed = dm * wj * usize + h * wj * usize + h * dm * j * usize
+    wsplit = _pick_wsplit(w, j, dm, fixed, n_temps=4)
 
-    kernel = functools.partial(_kernel, h=h, w=w, j=j, dm=dm)
+    kernel = functools.partial(_fwd_kernel, h=h, w=w, j=j, dm=dm, wsplit=wsplit)
 
     return pl.pallas_call(
         kernel,
@@ -85,16 +107,17 @@ def fused_cpb_bias(u: jnp.ndarray, v: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndar
         ],
         out_specs=pl.BlockSpec((1, h, wj), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bg, h, wj), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bg, h, wj), u.dtype),
         interpret=interpret,
     )(u, v, w1, b1.reshape(dm, 1), w2.reshape(1, dm), b2.reshape(1, 1))
 
 
 def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
                 du_ref, dv_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                *, h: int, w: int, j: int, dm: int):
-    """Backward of the fused CPB: recompute h1/h2 per row in VMEM, emit input grads
-    and per-(batch x group) weight-grad partials (summed over BG outside)."""
+                *, h: int, w: int, j: int, dm: int, wsplit: int):
+    """Backward: recompute h1/h2 per (row, lane-chunk), accumulate grads in VMEM."""
+    cw = w // wsplit
+    cwj = cw * j
     u = u_ref[0]                                         # (dm, W*J)
     w1 = w1_ref[:].astype(jnp.float32)                   # (dm, dm)
     w2 = w2_ref[:].astype(jnp.float32)                   # (1, dm)
@@ -107,33 +130,36 @@ def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
 
     def body(r, carry):
         v_row = v_ref[0, r]                              # (dm, J)
-        v_rep = pltpu.repeat(v_row, w, axis=1)           # (dm, W*J)
-        h1 = jnp.maximum(u + v_rep, 0.0).astype(jnp.float32)
-        z2 = jnp.dot(w1.T, h1, preferred_element_type=jnp.float32) + b1_ref[:]
-        h2 = jnp.maximum(z2, 0.0)                        # (dm, W*J)
-
-        dbias = dbias_ref[0, pl.ds(r, 1), :].astype(jnp.float32)       # (1, W*J)
-
-        # layer-3 grads: bias = w2 @ h2 + b2   (no transposes: lane reductions /
-        # lane-contracting dot_generals keep Mosaic layouts put)
-        dw2_ref[0] += jnp.sum(h2 * dbias, axis=1, keepdims=True)       # (dm, 1)
-        db2_ref[0] += jnp.sum(dbias).reshape(1, 1)
-        dh2 = jax.lax.dot_general(w2, dbias, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)  # (dm, W*J)
-        dz2 = jnp.where(z2 > 0, dh2, 0.0)
-
-        # layer-2 grads: z2 = w1^T h1 + b1
-        dw1_ref[0] += jax.lax.dot_general(h1, dz2, (((1,), (1,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
-        db1_ref[0] += jnp.sum(dz2, axis=1, keepdims=True)              # (dm, 1)
-        dh1 = jnp.dot(w1, dz2, preferred_element_type=jnp.float32)     # (dm, W*J)
-        dz1 = jnp.where(h1 > 0, dh1, 0.0)
-
-        # layer-1 grads: h1 = relu(u + tile(v_row))
-        du_ref[0] += dz1.astype(du_ref.dtype)
+        v_rep = pltpu.repeat(v_row, cw, axis=1)          # (dm, cw*J)
         dv_acc = jnp.zeros((dm, j), jnp.float32)
-        for wc in range(w):                               # static unroll: W adds
-            dv_acc = dv_acc + dz1[:, wc * j:(wc + 1) * j]
+
+        for s in range(wsplit):                          # static lane chunks
+            sl = slice(s * cwj, (s + 1) * cwj)
+            h1 = jnp.maximum(u[:, sl] + v_rep, 0.0).astype(jnp.float32)
+            z2 = jnp.dot(w1.T, h1, preferred_element_type=jnp.float32) + b1_ref[:]
+            h2 = jnp.maximum(z2, 0.0)                    # (dm, cw*J)
+
+            dbias = dbias_ref[0, pl.ds(r, 1), sl].astype(jnp.float32)  # (1, cw*J)
+
+            # layer-3: bias = w2 @ h2 + b2 (lane reductions, no transposes)
+            dw2_ref[0] += jnp.sum(h2 * dbias, axis=1, keepdims=True)   # (dm, 1)
+            db2_ref[0] += jnp.sum(dbias).reshape(1, 1)
+            dh2 = jax.lax.dot_general(w2, dbias, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dz2 = jnp.where(z2 > 0, dh2, 0.0)
+
+            # layer-2: z2 = w1^T h1 + b1
+            dw1_ref[0] += jax.lax.dot_general(h1, dz2, (((1,), (1,)), ((), ())),
+                                              preferred_element_type=jnp.float32)
+            db1_ref[0] += jnp.sum(dz2, axis=1, keepdims=True)
+            dh1 = jnp.dot(w1, dz2, preferred_element_type=jnp.float32)
+            dz1 = jnp.where(h1 > 0, dh1, 0.0)
+
+            # layer-1: h1 = relu(u + tile(v_row))
+            du_ref[0, :, sl] += dz1.astype(du_ref.dtype)
+            for wc in range(cw):                         # fold chunk onto (dm, J)
+                dv_acc = dv_acc + dz1[:, wc * j:(wc + 1) * j]
+
         dv_ref[0, r] = dv_acc.astype(dv_ref.dtype)
         return carry
 
@@ -145,7 +171,10 @@ def _cpb_bwd_call(u, v, w1, b1, w2, dbias, interpret=False):
     bg, dm, wj = u.shape
     _, h, _, j = v.shape
     w = wj // j
-    kernel = functools.partial(_bwd_kernel, h=h, w=w, j=j, dm=dm)
+    usize = jnp.dtype(u.dtype).itemsize
+    fixed = 2 * dm * wj * usize + h * wj * usize + 2 * h * dm * j * usize
+    wsplit = _pick_wsplit(w, j, dm, fixed, n_temps=6)
+    kernel = functools.partial(_bwd_kernel, h=h, w=w, j=j, dm=dm, wsplit=wsplit)
     f32 = jnp.float32
     outs = pl.pallas_call(
         kernel,
@@ -169,7 +198,7 @@ def _cpb_bwd_call(u, v, w1, b1, w2, dbias, interpret=False):
             pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bg, dm, wj), f32),       # du
+            jax.ShapeDtypeStruct((bg, dm, wj), u.dtype),   # du
             jax.ShapeDtypeStruct((bg, h, dm, j), f32),     # dv
             jax.ShapeDtypeStruct((bg, dm, dm), f32),       # dw1 partials
             jax.ShapeDtypeStruct((bg, dm, 1), f32),        # db1 partials
@@ -202,7 +231,7 @@ def _cpb_fwd(u, v, w1, b1, w2, b2, interpret):
 def _cpb_bwd(interpret, res, dbias):
     u, v, w1, b1, w2 = res
     du, dv, dw1, db1, dw2, db2 = _cpb_bwd_call(u, v, w1, b1, w2,
-                                               dbias.astype(jnp.float32),
+                                               dbias.astype(u.dtype),
                                                interpret=interpret)
     return du, dv, dw1, db1, dw2, db2.reshape(1).astype(jnp.float32)
 
@@ -220,7 +249,7 @@ def fused_bias_attention_weights(q, k, u, v, w1, b1, w2, b2, interpret=False):
     _, h, dm, j = v.shape
     w = n // h
     bias = fused_cpb_bias(u, v, w1, b1, w2, b2, interpret=interpret)
-    bias = bias.reshape(bg, h * w, j)                    # (BG, N, J): free in XLA
+    bias = bias.reshape(bg, h * w, j).astype(jnp.float32)  # (BG, N, J): XLA reshape
     sim = jnp.einsum("bnd,bjd->bnj", q.astype(jnp.float32),
                      k.astype(jnp.float32)) + bias
     sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
