@@ -43,11 +43,17 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16MB scoped limit
 
 
+_MAX_CHUNK_LANES = 8192  # cap per-op lane width (large single stores fail to lower)
+
+
 def _pick_wsplit(w: int, j: int, dm: int, fixed_bytes: int, n_temps: int) -> int:
     for s in range(1, w + 1):
         if w % s:
             continue
-        per_chunk = n_temps * dm * (w // s) * j * 4
+        cwj = (w // s) * j
+        if cwj > _MAX_CHUNK_LANES:
+            continue
+        per_chunk = n_temps * dm * cwj * 4
         if fixed_bytes + per_chunk <= _VMEM_BUDGET:
             return s
     return w
