@@ -85,7 +85,7 @@ def _fwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,
 def fused_cpb_bias(u: jnp.ndarray, v: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
                    w2: jnp.ndarray, b2: jnp.ndarray,
                    interpret: bool = False) -> jnp.ndarray:
-    """bias (BG, H, W*J) [lane order w*J+j, dtype of u] from CPB factor tables.
+    """bias (BG, H, W*J) f32 [lane order w*J+j] from CPB factor tables.
 
     u: (BG, dm, W*J);  v: (BG, H, dm, J);  w1 (dm, dm), b1 (dm,), w2 (dm, 1)
     [one bias head per group], b2 (1,).
@@ -94,7 +94,8 @@ def fused_cpb_bias(u: jnp.ndarray, v: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndar
     _, h, _, j = v.shape
     w = wj // j
     usize = jnp.dtype(u.dtype).itemsize
-    fixed = dm * wj * usize + h * wj * usize + h * dm * j * usize
+    # bias rows are stored f32: single-sublane dynamic stores need f32 granularity
+    fixed = dm * wj * usize + h * wj * 4 + h * dm * j * usize
     wsplit = _pick_wsplit(w, j, dm, fixed, n_temps=4)
 
     kernel = functools.partial(_fwd_kernel, h=h, w=w, j=j, dm=dm, wsplit=wsplit)
@@ -113,7 +114,7 @@ def fused_cpb_bias(u: jnp.ndarray, v: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndar
         ],
         out_specs=pl.BlockSpec((1, h, wj), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bg, h, wj), u.dtype),
+        out_shape=jax.ShapeDtypeStruct((bg, h, wj), jnp.float32),
         interpret=interpret,
     )(u, v, w1, b1.reshape(dm, 1), w2.reshape(1, dm), b2.reshape(1, 1))
 
@@ -178,7 +179,7 @@ def _cpb_bwd_call(u, v, w1, b1, w2, dbias, interpret=False):
     _, h, _, j = v.shape
     w = wj // j
     usize = jnp.dtype(u.dtype).itemsize
-    fixed = 2 * dm * wj * usize + h * wj * usize + 2 * h * dm * j * usize
+    fixed = 2 * dm * wj * usize + h * wj * 4 + 2 * h * dm * j * usize
     wsplit = _pick_wsplit(w, j, dm, fixed, n_temps=6)
     kernel = functools.partial(_bwd_kernel, h=h, w=w, j=j, dm=dm, wsplit=wsplit)
     f32 = jnp.float32
@@ -237,7 +238,7 @@ def _cpb_fwd(u, v, w1, b1, w2, b2, interpret):
 def _cpb_bwd(interpret, res, dbias):
     u, v, w1, b1, w2 = res
     du, dv, dw1, db1, dw2, db2 = _cpb_bwd_call(u, v, w1, b1, w2,
-                                               dbias.astype(u.dtype),
+                                               dbias.astype(jnp.float32),
                                                interpret=interpret)
     return du, dv, dw1, db1, dw2, db2.reshape(1).astype(jnp.float32)
 
