@@ -13,15 +13,17 @@ backward: recompute h1/h2 per row, emit du/dv plus per-program weight-grad parti
 (summed over the batch*group axis outside).  The XLA formulation round-trips the
 activations (~GBs) through HBM even with remat.
 
-Layout notes:
+Layout/sizing notes (hard-won on v5e):
 * lane order of the flattened column table ``u`` is w*J + j ("j fastest"), exactly
   what ``pltpu.repeat(v_row, ..., axis=1)`` produces when tiling the per-row table —
   layer 1 needs no in-kernel relayout;
-* one grid program per (batch x offset-group); rows are a ``fori_loop`` (W=50 query
-  rows can't satisfy Mosaic's %8 sublane block rule, and the single v5e core executes
-  the grid serially anyway);
-* rows are processed in ``wsplit`` lane chunks so the (dim, W*J) temporaries fit
-  scoped VMEM at large bag sizes (4096-patch bags OOM otherwise);
+* grid = (batch x offset-group, row-blocks); rows inside a block are a ``fori_loop``
+  (W=50 query rows can't satisfy Mosaic's %8 sublane block rule).  Row-blocking keeps
+  the (rows, W*J) bias/cotangent blocks small — Pallas double-buffers blocks, and a
+  full-H f32 block OOMs scoped VMEM at 4096-patch bags;
+* rows are additionally processed in ``wsplit`` lane chunks (cap 8192 lanes) so the
+  (dim, W*J) temporaries fit;
+* bias rows are stored f32 — bf16 single-sublane dynamic stores do not lower;
 * no in-kernel transposes: weight grads use lane-contracting dot_generals and lane
   reductions (Mosaic cannot shape-cast (1, W*J) -> (W, J), which is also why the bias
   is returned flat and reshaped by XLA).
@@ -40,10 +42,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16MB scoped limit
-
-
-_MAX_CHUNK_LANES = 8192  # cap per-op lane width (large single stores fail to lower)
+_VMEM_BUDGET = 10 * 1024 * 1024   # headroom under the 16MB scoped limit (blocks 2x-buffer)
+_MAX_CHUNK_LANES = 8192           # cap per-op lane width (larger stores fail to lower)
+_MAX_ROWBLOCK_BYTES = 2 * 1024 * 1024  # cap the f32 bias/cotangent row block
 
 
 def _pick_wsplit(w: int, j: int, dm: int, fixed_bytes: int, n_temps: int) -> int:
@@ -59,8 +60,17 @@ def _pick_wsplit(w: int, j: int, dm: int, fixed_bytes: int, n_temps: int) -> int
     return w
 
 
+def _pick_rowblocks(h: int, wj: int) -> int:
+    for nb in range(1, h + 1):
+        if h % nb:
+            continue
+        if (h // nb) * wj * 4 <= _MAX_ROWBLOCK_BYTES:
+            return nb
+    return h
+
+
 def _fwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,
-                *, h: int, w: int, j: int, dm: int, wsplit: int):
+                *, h_rb: int, w: int, j: int, dm: int, wsplit: int):
     cw = w // wsplit
     cwj = cw * j
     u = u_ref[0]                                         # (dm, W*J), lanes w*J+j
@@ -78,7 +88,7 @@ def _fwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,
             bias_ref[0, r, s * cwj:(s + 1) * cwj] = bias[0].astype(bias_ref.dtype)
         return carry
 
-    jax.lax.fori_loop(0, h, body, 0)
+    jax.lax.fori_loop(0, h_rb, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -94,25 +104,28 @@ def fused_cpb_bias(u: jnp.ndarray, v: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndar
     _, h, _, j = v.shape
     w = wj // j
     usize = jnp.dtype(u.dtype).itemsize
-    # bias rows are stored f32: single-sublane dynamic stores need f32 granularity
-    fixed = dm * wj * usize + h * wj * 4 + h * dm * j * usize
+    n_rb = _pick_rowblocks(h, wj)
+    h_rb = h // n_rb
+    fixed = 2 * dm * wj * usize + 2 * h_rb * wj * 4 + 2 * h_rb * dm * j * usize
     wsplit = _pick_wsplit(w, j, dm, fixed, n_temps=4)
 
-    kernel = functools.partial(_fwd_kernel, h=h, w=w, j=j, dm=dm, wsplit=wsplit)
+    kernel = functools.partial(_fwd_kernel, h_rb=h_rb, w=w, j=j, dm=dm,
+                               wsplit=wsplit)
 
     return pl.pallas_call(
         kernel,
-        grid=(bg,),
+        grid=(bg, n_rb),
         in_specs=[
-            pl.BlockSpec((1, dm, wj), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, dm, j), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, dm, wj), lambda b, r: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dm, dm), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dm, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dm), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h_rb, dm, j), lambda b, r: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dm, dm), lambda b, r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dm, 1), lambda b, r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dm), lambda b, r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b, r: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, wj), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, h_rb, wj), lambda b, r: (b, r, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bg, h, wj), jnp.float32),
         interpret=interpret,
@@ -121,19 +134,25 @@ def fused_cpb_bias(u: jnp.ndarray, v: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndar
 
 def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
                 du_ref, dv_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                *, h: int, w: int, j: int, dm: int, wsplit: int):
-    """Backward: recompute h1/h2 per (row, lane-chunk), accumulate grads in VMEM."""
+                *, h_rb: int, w: int, j: int, dm: int, wsplit: int):
+    """Backward: recompute h1/h2 per (row, lane-chunk), accumulate grads in VMEM.
+
+    du/dw*/db* blocks are revisited across row blocks (constant index): zero-init at
+    row-block 0, accumulate after.
+    """
     cw = w // wsplit
     cwj = cw * j
     u = u_ref[0]                                         # (dm, W*J)
     w1 = w1_ref[:].astype(jnp.float32)                   # (dm, dm)
     w2 = w2_ref[:].astype(jnp.float32)                   # (1, dm)
 
-    du_ref[0] = jnp.zeros_like(du_ref[0])
-    dw1_ref[0] = jnp.zeros_like(dw1_ref[0])
-    db1_ref[0] = jnp.zeros_like(db1_ref[0])
-    dw2_ref[0] = jnp.zeros_like(dw2_ref[0])
-    db2_ref[0] = jnp.zeros_like(db2_ref[0])
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        du_ref[0] = jnp.zeros_like(du_ref[0])
+        dw1_ref[0] = jnp.zeros_like(dw1_ref[0])
+        db1_ref[0] = jnp.zeros_like(db1_ref[0])
+        dw2_ref[0] = jnp.zeros_like(dw2_ref[0])
+        db2_ref[0] = jnp.zeros_like(db2_ref[0])
 
     def body(r, carry):
         v_row = v_ref[0, r]                              # (dm, J)
@@ -170,7 +189,7 @@ def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
         dv_ref[0, r] = dv_acc.astype(dv_ref.dtype)
         return carry
 
-    jax.lax.fori_loop(0, h, body, 0)
+    jax.lax.fori_loop(0, h_rb, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -179,30 +198,42 @@ def _cpb_bwd_call(u, v, w1, b1, w2, dbias, interpret=False):
     _, h, _, j = v.shape
     w = wj // j
     usize = jnp.dtype(u.dtype).itemsize
-    fixed = 2 * dm * wj * usize + h * wj * 4 + 2 * h * dm * j * usize
+    n_rb = _pick_rowblocks(h, wj)
+    h_rb = h // n_rb
+    fixed = (2 * dm * wj * usize + dm * wj * usize      # u (2x-buffered) + du
+             + 2 * h_rb * wj * 4                        # dbias block (2x)
+             + 2 * h_rb * dm * j * (usize + 4))         # v + dv blocks
     wsplit = _pick_wsplit(w, j, dm, fixed, n_temps=6)
-    kernel = functools.partial(_bwd_kernel, h=h, w=w, j=j, dm=dm, wsplit=wsplit)
+    kernel = functools.partial(_bwd_kernel, h_rb=h_rb, w=w, j=j, dm=dm,
+                               wsplit=wsplit)
     f32 = jnp.float32
     outs = pl.pallas_call(
         kernel,
-        grid=(bg,),
+        grid=(bg, n_rb),
         in_specs=[
-            pl.BlockSpec((1, dm, wj), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, dm, j), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, dm, wj), lambda b, r: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dm, dm), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dm, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dm), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, wj), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_rb, dm, j), lambda b, r: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dm, dm), lambda b, r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dm, 1), lambda b, r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dm), lambda b, r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_rb, wj), lambda b, r: (b, r, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, dm, wj), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, dm, j), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, dm, wj), lambda b, r: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dm, dm), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dm, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dm, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_rb, dm, j), lambda b, r: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dm, dm), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dm, 1), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dm, 1), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bg, dm, wj), u.dtype),   # du
