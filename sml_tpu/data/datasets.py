@@ -137,11 +137,12 @@ class RawPatchReader:
 class IvYGAPDataset:
     """Allen-Institute IvYGAP cohort: fpkm gene tables joined by specimen name."""
 
-    def __init__(self, phase: str, config: Config):
+    def __init__(self, phase: str, config: Config, if_end2end: bool = False):
         import pandas as pd
 
         self.config = config
         self.phase = phase
+        self.if_end2end = if_end2end
         d = config.dataDir
         table = pd.read_csv(os.path.join(d, "IvYGAP", "multimodal_diag_survival_IvY.csv"),
                             header=0).values
@@ -165,8 +166,13 @@ class IvYGAPDataset:
         self.columns_samples["specimen_name_temp"] = self.columns_samples[
             "specimen_name"].apply(lambda x: "-".join(x.split("-")[:3]))
         self.quantiles = _quantiles(config)
-        self.read_feature = _H5FeatureReader(
-            os.path.join(d, "IvYGAP", f"Res50_feature_{config.fixdim}_fixdim0_norm"))
+        if if_end2end:
+            self.read_feature = RawPatchReader(
+                os.path.join(d, "IvYGAP"), os.path.join(d, "IvYGAP", "wsi"),
+                config.fixdim)
+        else:
+            self.read_feature = _H5FeatureReader(
+                os.path.join(d, "IvYGAP", f"Res50_feature_{config.fixdim}_fixdim0_norm"))
 
     def __len__(self) -> int:
         return len(self.rows)
@@ -204,11 +210,12 @@ class IvYGAPDataset:
 class TCGADataset:
     """TCGA cohort: per-sample GDC gene-expression TSVs, richer molecular labels."""
 
-    def __init__(self, phase: str, config: Config):
+    def __init__(self, phase: str, config: Config, if_end2end: bool = False):
         import pandas as pd
 
         self.config = config
         self.phase = phase
+        self.if_end2end = if_end2end
         d = config.dataDir
         table = pd.read_csv(os.path.join(d, "TCGA", "multimodal_diag_survival_TCGA.csv"),
                             header=0).values
@@ -217,8 +224,13 @@ class TCGADataset:
 
         self.share, self.share_tumor, self.share_immune = _read_gene_signature(d)
         self.quantiles = _quantiles(config)
-        self.read_feature = _H5FeatureReader(
-            os.path.join(d, "TCGA", f"Res50_feature_{config.fixdim}_fixdim0_norm"))
+        if if_end2end:
+            self.read_feature = RawPatchReader(
+                os.path.join(d, "TCGA"), os.path.join(d, "TCGA", "wsi"),
+                config.fixdim)
+        else:
+            self.read_feature = _H5FeatureReader(
+                os.path.join(d, "TCGA", f"Res50_feature_{config.fixdim}_fixdim0_norm"))
         self.gene_root = os.path.join(d, "TCGA", "transcriptomeProfiling_geneExpression")
 
     def __len__(self) -> int:
