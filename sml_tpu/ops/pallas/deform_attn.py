@@ -80,8 +80,8 @@ def _fwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,
         v_rep = pltpu.repeat(v_row, cw, axis=1)          # (dm, cw*J)
         for s in range(wsplit):                          # static lane chunks
             h1 = jnp.maximum(u[:, s * cwj:(s + 1) * cwj] + v_rep, 0.0)
-            h2 = jnp.dot(w1_ref[:].T, h1.astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
+            # keep operands in the input dtype (bf16): f32 operands halve MXU rate
+            h2 = jnp.dot(w1_ref[:].T, h1, preferred_element_type=jnp.float32)
             h2 = jnp.maximum(h2 + b1_ref[:], 0.0)        # (dm, cw*J)
             bias = jnp.dot(w2_ref[:], h2,
                            preferred_element_type=jnp.float32) + b2_ref[0, 0]
@@ -161,9 +161,10 @@ def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
 
         for s in range(wsplit):                          # static lane chunks
             sl = slice(s * cwj, (s + 1) * cwj)
-            h1 = jnp.maximum(u[:, sl] + v_rep, 0.0).astype(jnp.float32)
-            z2 = jnp.dot(w1.T, h1, preferred_element_type=jnp.float32) + b1_ref[:]
-            h2 = jnp.maximum(z2, 0.0)                    # (dm, cw*J)
+            h1 = jnp.maximum(u[:, sl] + v_rep, 0.0)      # input dtype (bf16)
+            z2 = jnp.dot(w1_ref[:].T, h1,
+                         preferred_element_type=jnp.float32) + b1_ref[:]
+            h2 = jnp.maximum(z2, 0.0)                    # (dm, cw*J) f32
 
             dbias = dbias_ref[0, pl.ds(r, 1), sl].astype(jnp.float32)  # (1, cw*J)
 
@@ -175,10 +176,11 @@ def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
             dz2 = jnp.where(z2 > 0, dh2, 0.0)
 
             # layer-2: z2 = w1^T h1 + b1
-            dw1_ref[0] += jax.lax.dot_general(h1, dz2, (((1,), (1,)), ((), ())),
+            dz2_c = dz2.astype(u.dtype)
+            dw1_ref[0] += jax.lax.dot_general(h1, dz2_c, (((1,), (1,)), ((), ())),
                                               preferred_element_type=jnp.float32)
             db1_ref[0] += jnp.sum(dz2, axis=1, keepdims=True)
-            dh1 = jnp.dot(w1, dz2, preferred_element_type=jnp.float32)
+            dh1 = jnp.dot(w1_ref[:], dz2_c, preferred_element_type=jnp.float32)
             dz1 = jnp.where(h1 > 0, dh1, 0.0)
 
             # layer-1: h1 = relu(u + tile(v_row))
