@@ -181,7 +181,8 @@ def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
                                               preferred_element_type=jnp.float32)
             db1_ref[0] += jnp.sum(dz2, axis=1, keepdims=True)
             dh1 = jnp.dot(w1_ref[:], dz2_c, preferred_element_type=jnp.float32)
-            dz1 = jnp.where(h1 > 0, dh1, 0.0)
+            # relu mask in f32: the target does not support bf16 comparisons
+            dz1 = jnp.where(h1.astype(jnp.float32) > 0, dh1, 0.0)
 
             # layer-1: h1 = relu(u + tile(v_row))
             du_ref[0, :, sl] += dz1.astype(du_ref.dtype)
