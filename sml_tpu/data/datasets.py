@@ -15,7 +15,7 @@ the same columns (``gene_signature_selected.csv``) is accepted as a fallback.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

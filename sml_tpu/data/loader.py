@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import threading
 from queue import Queue
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 

@@ -8,8 +8,7 @@ schedule is a function of the optax update count with ``steps_per_epoch`` baked 
 
 from __future__ import annotations
 
-import math
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

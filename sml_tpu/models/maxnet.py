@@ -8,7 +8,7 @@ kernel initializer instead of post-hoc surgery.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

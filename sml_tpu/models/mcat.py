@@ -9,7 +9,7 @@ and S = cumprod(1 - h).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

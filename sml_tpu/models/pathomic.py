@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sml_tpu.models.maxnet import MaxNet, max_kernel_init
+from sml_tpu.models.maxnet import MaxNet
 from sml_tpu.models.mil import ABMIL
 from sml_tpu.ops.common import torch_kernel_init
 from sml_tpu.ops.fusion import BilinearFusion

@@ -19,7 +19,7 @@ Semantics notes kept from the reference:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ what lets us compile one program per bag-size bucket instead of per bag.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax.numpy as jnp

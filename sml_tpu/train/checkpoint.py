@@ -7,9 +7,8 @@ snapshots with metric-embedding filenames for parity with the reference's
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
-import jax
 import orbax.checkpoint as ocp
 
 from sml_tpu.train.state import TrainState

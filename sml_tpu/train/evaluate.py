@@ -4,7 +4,7 @@ over the accumulated arrays; softmax activations for the classification metrics)
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict
 
 import numpy as np
 

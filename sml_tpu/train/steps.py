@@ -9,7 +9,6 @@ the reference implements with DDP + GatherLayer.  Gradient modulation runs in-gr
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Tuple
 
 import jax

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import List, Optional
+from typing import List
 
 import jax
 

@@ -7,7 +7,7 @@ subtree-name filters.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
+from typing import Iterable
 
 import jax
 import jax.numpy as jnp
