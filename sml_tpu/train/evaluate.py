@@ -22,21 +22,30 @@ def evaluate(config: Config, eval_step: Callable, variables, loader,
     duplicates in the final batch — same spirit as the reference's running test loss
     (train_test.py:504-509), cosmetically off by the padding on the last batch only.
     """
+    import jax
+
     from sml_tpu.parallel.mesh import shard_batch
 
-    risks, probs, labels, masks, losses_ = [], [], [], [], []
+    # enqueue every batch first, fetch once at the end: per-batch host fetches cost a
+    # full round-trip each on tunneled TPUs
+    outs, host_labels, host_masks = [], [], []
     for batch in loader:
         mask = batch.pop("sample_mask")
         dev_batch = shard_batch(mesh, batch) if mesh is not None else batch
-        out = eval_step(variables, dev_batch)
+        outs.append(eval_step(variables, dev_batch))
+        host_labels.append(np.asarray(batch["labels"]))
+        host_masks.append(mask)
+    outs = jax.device_get(outs)
+
+    risks, probs, labels, losses_ = [], [], [], []
+    for out, lab, mask in zip(outs, host_labels, host_masks):
         valid = mask > 0
-        labels.append(np.asarray(batch["labels"])[valid])
+        labels.append(lab[valid])
         if "risk" in out:
             risks.append(np.asarray(out["risk"])[valid])
         else:
             probs.append(np.asarray(out["probs"])[valid])
         losses_.append(float(out["loss"]))
-        masks.append(mask)
 
     labels = np.concatenate(labels, axis=0)
     result: Dict[str, float] = {"loss": float(np.mean(losses_))}
