@@ -18,7 +18,7 @@ def test_gather_with_local_grad_forward_and_backward():
     mesh = make_mesh(num_devices=8)
     x = jnp.arange(16, dtype=jnp.float32).reshape(8, 2)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def loss_fn(x):
         def inner(xs):
@@ -48,7 +48,7 @@ def test_sync_batchnorm_matches_global_batchnorm():
     # init outside shard_map: use running stats so no psum is traced
     variables = bn.init(jax.random.PRNGKey(0), x[:2], use_running_average=True)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def apply_sharded(x):
         def inner(xs):
