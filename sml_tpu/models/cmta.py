@@ -48,7 +48,7 @@ class TransformerP(nn.Module):
         h = PPEG(self.feature_dim, dtype=self.dtype, name="pos_layer")(h, side, side)
         h = TransLayer(self.feature_dim, dtype=self.dtype, name="layer2")(
             h, deterministic=deterministic)
-        h = nn.LayerNorm(name="norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
         return h[:, 0], h[:, 1:]
 
 
@@ -69,7 +69,7 @@ class TransformerG(nn.Module):
             h, deterministic=deterministic)
         h = TransLayer(self.feature_dim, dtype=self.dtype, name="layer2")(
             h, deterministic=deterministic)
-        h = nn.LayerNorm(name="norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
         return h[:, 0], h[:, 1:]
 
 

@@ -48,7 +48,7 @@ class DeformCrossTransLayer(nn.Module):
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, return_vgrid: bool = False,
                  deterministic: bool = False):
-        norm = nn.LayerNorm(name="norm")
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         n1, n2 = norm(x1), norm(x2)
         if self.attn_dim == 1:
             out = DeformCrossAttention1D(
@@ -105,7 +105,7 @@ class DeformCrossTransMIL(nn.Module):
             h = jnp.concatenate([cls_b, h], axis=1)
             path_c = jnp.concatenate([cls_b, path], axis=1)
             h = layer(h, path_c, deterministic=deterministic)
-            h = nn.LayerNorm(name="norm")(h)[:, 0]
+            h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)[:, 0]
         else:
             if self.return_vgrid:
                 h, vgrid = layer(h, path, return_vgrid=True,
@@ -113,7 +113,7 @@ class DeformCrossTransMIL(nn.Module):
             else:
                 h = layer(h, path, deterministic=deterministic)
             h = Pooler(self.path_dim, dtype=self.dtype,
-                       name="pooler")(nn.LayerNorm(name="norm")(h))
+                       name="pooler")(nn.LayerNorm(epsilon=1e-5, name="norm")(h))
 
         logits = nn.Dense(self.n_classes, kernel_init=torch_kernel_init,
                           dtype=self.dtype, name="fc2")(h)

@@ -82,7 +82,7 @@ class TransLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = False,
                  mask: jnp.ndarray = None) -> jnp.ndarray:
-        y = nn.LayerNorm(name="norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         y = NystromAttention(dim=self.dim, dim_head=self.dim // 8, heads=8,
                              num_landmarks=self.dim // 2, pinv_iterations=6,
                              residual=True, dropout=self.dropout, dtype=self.dtype,
@@ -122,7 +122,7 @@ class TransMIL(nn.Module):
         h = TransLayer(self.hidden_dim, dtype=self.dtype, name="layer2")(
             h, deterministic=deterministic, mask=mask)
 
-        h = nn.LayerNorm(name="norm")(h)[:, 0]
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)[:, 0]
         logits = nn.Dense(self.label_dim, kernel_init=torch_kernel_init,
                           dtype=self.dtype, name="fc2")(h)
         encoded = nn.Dense(self.path_dim, kernel_init=torch_kernel_init,

@@ -78,8 +78,13 @@ def grid_sample_1d(inp: jnp.ndarray, grid: jnp.ndarray,
                    align_corners: bool = False) -> jnp.ndarray:
     """Linear sample ``inp`` (N,L,C) at normalized coords ``grid`` (N,P); zeros padding.
 
-    Matches the reference's ``grid_sample_1d`` (which lifts 1-D to 2-D grid_sample,
-    reference ``models/DeformableAttention1D.py:36-43``).
+    CONSCIOUS FIX of the reference's ``grid_sample_1d`` (reference
+    ``models/DeformableAttention1D.py:36-43``): the reference lifts 1-D to 2-D
+    ``F.grid_sample`` but places the coordinate in the x slot of a width-1 image, so
+    it actually returns ``midpoint(seq) * (1 - |g|/2)`` — a constant midpoint scaled
+    by the offset, never sampling along the sequence (verified empirically;
+    emulated in ``tests/test_reference_parity.py``).  This implementation samples
+    along the sequence, the evident intent.
     """
     n, l, c = inp.shape
     x = _unnormalize(grid, l, align_corners)                    # (N, P)

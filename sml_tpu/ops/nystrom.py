@@ -144,7 +144,7 @@ class PreNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, **kwargs):
-        return self.fn(nn.LayerNorm(name="norm")(x), **kwargs)
+        return self.fn(nn.LayerNorm(epsilon=1e-5, name="norm")(x), **kwargs)
 
 
 class FeedForward(nn.Module):

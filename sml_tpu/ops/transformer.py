@@ -29,7 +29,7 @@ class TransformerEncoderLayer(nn.Module):
             self.d_model, self.nhead, dropout=self.dropout, dtype=self.dtype,
             name="self_attn")(x, x, x, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
 
         y = nn.Dense(self.dim_feedforward, kernel_init=torch_kernel_init,
                      dtype=self.dtype, name="linear1")(x)
@@ -38,7 +38,7 @@ class TransformerEncoderLayer(nn.Module):
         y = nn.Dense(self.d_model, kernel_init=torch_kernel_init,
                      dtype=self.dtype, name="linear2")(y)
         x = x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        return nn.LayerNorm(name="norm2")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
 
 
 class TransformerEncoder(nn.Module):
