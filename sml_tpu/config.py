@@ -78,6 +78,7 @@ class Config:
     checkpoints: str = "./checkpoints"
     novalset: bool = False
     synthetic_size: int = 256             # samples per synthetic split (train)
+    variable_bags: bool = False           # synthetic: variable bag sizes, bucketed to fixdim with masks
     packed_dir: str = ""                  # dir with {Train,Val,Test}.bin packed data
                                           # (see scripts/pack_data.py); "" = per-sample readers
 
@@ -164,15 +165,14 @@ class Config:
             raise ValueError(f"unknown task_type {self.task_type!r}")
         if self.attn_dim not in (1, 2):
             raise ValueError("attn_dim must be 1 or 2")
-        if self.attn_dim == 2:
-            g = int(round(self.fixdim ** 0.5))
-            if g * g != self.fixdim:
-                raise ValueError(
-                    f"fixdim={self.fixdim} must be a perfect square for 2-D deformable attention")
+        # non-square fixdim is allowed: DeformCrossTransMIL pads the token axis to
+        # the next perfect square internally (masked), generalizing the reference's
+        # hard-coded 50x50 grid (models/DeformableAttention2D.py:239-240)
 
     @property
     def grid_size(self) -> int:
-        return int(round(self.fixdim ** 0.5))
+        import math
+        return int(math.ceil(self.fixdim ** 0.5))
 
     @classmethod
     def from_yaml(cls, path: str, overrides: Optional[List[str]] = None) -> "Config":

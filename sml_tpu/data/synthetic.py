@@ -68,22 +68,32 @@ class SyntheticDataset:
 
         omic = (self.omic_centers[c] + rng.normal(size=cfg.input_size_omic)
                 ).astype(np.float32)
+        # variable-length bags (bucketed + masked) or reference-style fixed bags
+        n_bag = cfg.fixdim
+        if getattr(cfg, "variable_bags", False):
+            n_bag = int(rng.integers(max(cfg.fixdim // 2, 4), cfg.fixdim + 1))
         # bag: 30% signal patches near the class path-center, rest background
-        n_sig = cfg.fixdim // 3
+        n_sig = n_bag // 3
         signal = (self.path_centers[c][None, :] * 0.5
                   + rng.normal(size=(n_sig, cfg.input_path_dim)))
-        background = rng.normal(size=(cfg.fixdim - n_sig, cfg.input_path_dim))
+        background = rng.normal(size=(n_bag - n_sig, cfg.input_path_dim))
         bag = np.concatenate([signal, background], axis=0).astype(np.float32)
         rng.shuffle(bag)
 
         labels = self._labels(index, c)
-        return {
+        sample = {
             "x_path": bag,
             "x_omic": omic,
             "x_omic_tumor": omic[self.idx_tumor],
             "x_omic_immune": omic[self.idx_immune],
             "labels": labels,
         }
+        if getattr(cfg, "variable_bags", False):
+            from sml_tpu.data.bucketing import bucket_bag
+
+            sample["x_path"], mask = bucket_bag(bag, buckets=(cfg.fixdim,))
+            sample["mask"] = mask
+        return sample
 
     def _labels(self, index: int, c: int) -> np.ndarray:
         t = float(self.times[index])

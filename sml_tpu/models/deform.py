@@ -21,6 +21,7 @@ Design deltas from the reference (documented, behavior-preserving):
 
 from __future__ import annotations
 
+import math
 from typing import Dict, Optional
 
 import jax
@@ -47,7 +48,7 @@ class DeformCrossTransLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, return_vgrid: bool = False,
-                 deterministic: bool = False):
+                 deterministic: bool = False, mask: jnp.ndarray = None):
         norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         n1, n2 = norm(x1), norm(x2)
         if self.attn_dim == 1:
@@ -55,7 +56,7 @@ class DeformCrossTransLayer(nn.Module):
                 dim=self.dim, downsample_factor=4, offset_scale=2.0,
                 offset_kernel_size=6, cpb_query_chunk=self.cpb_query_chunk,
                 dtype=self.dtype, name="attn1d")(
-                n1, n2, return_vgrid=False, deterministic=deterministic)
+                n1, n2, return_vgrid=False, deterministic=deterministic, mask=mask)
             return x1 + out
         attn = DeformCrossAttention2D(
             dim=self.dim, dim_head=64, heads=8, dropout=self.dropout,
@@ -63,9 +64,10 @@ class DeformCrossTransLayer(nn.Module):
             offset_kernel_size=6, cpb_query_chunk=self.cpb_query_chunk,
             use_pallas=self.use_pallas, dtype=self.dtype, name="attn2d")
         if return_vgrid:
-            out, vgrid = attn(n1, n2, return_vgrid=True, deterministic=deterministic)
+            out, vgrid = attn(n1, n2, return_vgrid=True, deterministic=deterministic,
+                              mask=mask)
             return x1 + out, vgrid
-        out = attn(n1, n2, return_vgrid=False, deterministic=deterministic)
+        out = attn(n1, n2, return_vgrid=False, deterministic=deterministic, mask=mask)
         return x1 + out
 
 
@@ -82,10 +84,26 @@ class DeformCrossTransMIL(nn.Module):
 
     @nn.compact
     def __call__(self, path: jnp.ndarray, omic: jnp.ndarray,
-                 deterministic: bool = False) -> Dict[str, jnp.ndarray]:
+                 deterministic: bool = False, mask: jnp.ndarray = None
+                 ) -> Dict[str, jnp.ndarray]:
         b, n, _ = path.shape
         path = nn.relu(nn.Dense(self.path_dim, kernel_init=torch_kernel_init,
                                 dtype=self.dtype, name="fc1")(path))  # (B, N, 128)
+
+        # variable-length bags: pad the token axis to the next perfect square so
+        # the 2-D deform grid exists (generalizes the reference's hard-coded 50x50,
+        # ``models/DeformableAttention2D.py:239-240``); padded tokens are masked.
+        if self.attn_dim == 2:
+            side = int(math.ceil(math.sqrt(n)))
+            add = side * side - n
+            if add:
+                path = jnp.pad(path, ((0, 0), (0, add), (0, 0)))
+                if mask is None:
+                    mask = jnp.concatenate(
+                        [jnp.ones((b, n), bool), jnp.zeros((b, add), bool)], axis=1)
+                else:
+                    mask = jnp.pad(mask, ((0, 0), (0, add)))
+                n = n + add
 
         omic_tokens = jnp.broadcast_to(omic[:, None, :], (b, n, omic.shape[-1]))
         # NOTE reference arg order: fusion_layer(path, omic) -> concat([path, omic])
@@ -104,16 +122,20 @@ class DeformCrossTransMIL(nn.Module):
             cls_b = jnp.tile(cls, (b, 1, 1)).astype(h.dtype)
             h = jnp.concatenate([cls_b, h], axis=1)
             path_c = jnp.concatenate([cls_b, path], axis=1)
-            h = layer(h, path_c, deterministic=deterministic)
+            mask_c = None
+            if mask is not None:  # cls token is always valid
+                mask_c = jnp.concatenate([jnp.ones((b, 1), bool), mask], axis=1)
+            h = layer(h, path_c, deterministic=deterministic, mask=mask_c)
             h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)[:, 0]
         else:
             if self.return_vgrid:
                 h, vgrid = layer(h, path, return_vgrid=True,
-                                 deterministic=deterministic)
+                                 deterministic=deterministic, mask=mask)
             else:
-                h = layer(h, path, deterministic=deterministic)
+                h = layer(h, path, deterministic=deterministic, mask=mask)
             h = Pooler(self.path_dim, dtype=self.dtype,
-                       name="pooler")(nn.LayerNorm(epsilon=1e-5, name="norm")(h))
+                       name="pooler")(nn.LayerNorm(epsilon=1e-5, name="norm")(h),
+                                      mask=mask)
 
         logits = nn.Dense(self.n_classes, kernel_init=torch_kernel_init,
                           dtype=self.dtype, name="fc2")(h)
@@ -154,7 +176,8 @@ class DeformPathomicNet(nn.Module):
     @nn.compact
     def __call__(self, x_path: jnp.ndarray, x_omic_tumor: jnp.ndarray,
                  x_omic_immune: jnp.ndarray, x_omic: Optional[jnp.ndarray] = None,
-                 deterministic: bool = False) -> Dict[str, jnp.ndarray]:
+                 deterministic: bool = False, mask: Optional[jnp.ndarray] = None
+                 ) -> Dict[str, jnp.ndarray]:
         del x_omic  # full gene vector unused by this mode
 
         def branch(name, input_dim, x):
@@ -172,7 +195,7 @@ class DeformPathomicNet(nn.Module):
                           cpb_query_chunk=self.cpb_query_chunk,
                           use_pallas=self.use_pallas, dtype=self.dtype,
                           name=f"pathomic_net_{name}")
-            return mil(x_path, omic["features"], deterministic)
+            return mil(x_path, omic["features"], deterministic, mask)
 
         tumor = branch("tumor", self.input_size_omic_tumor, x_omic_tumor)
         immune = branch("immune", self.input_size_omic_immune, x_omic_immune)

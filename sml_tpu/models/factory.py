@@ -86,8 +86,15 @@ def define_net(config: Config) -> nn.Module:
     raise NotImplementedError(f"model [{mode}] is not implemented")
 
 
+# modes whose models accept a per-patch validity mask (padded/bucketed bags)
+MASKABLE_MODES = ("path", "deformpathomic")
+
+
 def model_inputs(config: Config, batch: Dict[str, Any]) -> Dict[str, Any]:
-    return {k: batch[k] for k in MODE_INPUTS[config.mode]}
+    kwargs = {k: batch[k] for k in MODE_INPUTS[config.mode]}
+    if "mask" in batch and config.mode in MASKABLE_MODES:
+        kwargs["mask"] = batch["mask"]
+    return kwargs
 
 
 def init_model(config: Config, model: nn.Module, rng: jax.Array,

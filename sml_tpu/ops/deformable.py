@@ -319,10 +319,18 @@ class DeformCrossAttention2D(nn.Module):
 
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, return_vgrid: bool = False,
-                 deterministic: bool = False):
+                 deterministic: bool = False, mask: Optional[jnp.ndarray] = None):
         b, n, c = x1.shape
         h = w = int(round(n ** 0.5))
         assert h * w == n, f"token count {n} must be a perfect square"
+        if mask is not None:
+            # padded-bag semantics: masked tokens contribute exactly like the zeros
+            # padding outside the image (reference grid_sample padding_mode='zeros',
+            # ``models/DeformableAttention2D.py:268-271``) — zero both streams up
+            # front so offsets, sampled kv, and attention are pad-invariant.
+            m = mask[..., None].astype(x1.dtype)
+            x1 = x1 * m
+            x2 = x2 * m
         g = self.offset_groups
         heads = self.heads
         inner_dim = self.dim_head * heads
@@ -417,8 +425,12 @@ class DeformCrossAttention1D(nn.Module):
 
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, return_vgrid: bool = False,
-                 deterministic: bool = False):
+                 deterministic: bool = False, mask: Optional[jnp.ndarray] = None):
         b, n, c = x1.shape
+        if mask is not None:  # same zeros-padding semantics as the 2-D variant
+            m = mask[..., None].astype(x1.dtype)
+            x1 = x1 * m
+            x2 = x2 * m
         g = self.offset_groups
         heads = self.heads
         inner_dim = self.dim_head * heads

@@ -36,12 +36,21 @@ class AttnNetGated(nn.Module):
 
 
 class Pooler(nn.Module):
-    """Mean over tokens -> Dense -> tanh (reference ``models/DeformCrossTransMIL.py:169-202``)."""
+    """Mean over tokens -> Dense -> tanh (reference ``models/DeformCrossTransMIL.py:169-202``).
+
+    ``mask`` (B, N) restricts the mean to valid tokens (padded-bag support; the
+    reference only ever sees full fixdim bags)."""
     hidden_size: int
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, hidden_states: jnp.ndarray) -> jnp.ndarray:
-        avg = jnp.mean(hidden_states, axis=1)
+    def __call__(self, hidden_states: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if mask is None:
+            avg = jnp.mean(hidden_states, axis=1)
+        else:
+            m = mask.astype(hidden_states.dtype)[..., None]          # (B, N, 1)
+            avg = (hidden_states * m).sum(axis=1) / jnp.maximum(
+                m.sum(axis=1), 1.0)
         return nn.tanh(nn.Dense(self.hidden_size, kernel_init=torch_kernel_init,
                                 dtype=self.dtype, name="dense")(avg))
