@@ -1,13 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness: deformpathomic FULL train step (fwd+bwd+adam, batch-sim loss,
-gradient modulation) at the reference workload shape (B=8 bags x 2500 patches x 1024).
+gradient modulation) at the NORTH-STAR shape (B=8 bags x 4096 patches x 1024;
+SURVEY §6 — '4k-patch bags').  ``--fixdim 2500`` measures the reference shape.
 
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "bags/s/chip", "vs_baseline": N}
 
 ``vs_baseline`` compares against the PyTorch reference measured on this host's CPU
-(benchmarks/baseline_reference.json — no CUDA device exists here; see BASELINE.md).
-Runs on whatever platform jax selects (the tunneled TPU under axon; CPU in tests).
+at the SAME shape (benchmarks/baseline_reference*.json — no CUDA device exists
+here; see BASELINE.md for the A100 projection).  MFU is computed from the compiled
+step's XLA cost analysis against the chip's peak bf16 FLOPs.
 """
 
 from __future__ import annotations
@@ -18,6 +20,35 @@ import os
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+
+# peak dense matmul FLOP/s by TPU generation (bf16)
+_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5": 459e12,        # v5p
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,   # v6e (Trillium)
+    "cpu": 0.0,
+}
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", str(device))
+    for key, val in _PEAK_FLOPS.items():
+        if key in str(kind):
+            return val
+    return 0.0
+
+
+def _step_flops(train_step, state, dev_batch) -> float:
+    """FLOPs of one compiled train step via XLA cost analysis (0 if unavailable)."""
+    try:
+        compiled = train_step.lower(state, dev_batch).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
@@ -110,7 +141,18 @@ def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
         t_big = run(steps + small)
         dt = t_big - t_small
         steps_per_sec = steps / dt
+
+    flops = _step_flops(train_step, state, dev_batch) if not device_loop else 0.0
+    if device_loop:
+        # cost-analyze a single-step jit (the scan body is the same program)
+        single = make_train_step(config, model, tx)
+        flops = _step_flops(single, state, dev_batch)
+    peak = _peak_flops(jax.devices()[0])
+    mfu = (flops * steps_per_sec / peak) if (peak and flops) else 0.0
     return {
+        "step_flops": flops,
+        "peak_flops": peak,
+        "mfu": mfu,
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
         "n_chips": n_chips,
@@ -131,7 +173,7 @@ def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch_size", type=int, default=8)
-    ap.add_argument("--fixdim", type=int, default=2500)
+    ap.add_argument("--fixdim", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", type=str, default="bfloat16")
@@ -152,18 +194,23 @@ def main():
                      use_pallas=not args.no_pallas, device_loop=args.device_loop)
 
     vs_baseline = 0.0
-    baseline_path = os.path.join(REPO, "benchmarks", "baseline_reference.json")
-    if os.path.exists(baseline_path):
+    for name in (f"baseline_reference_{args.fixdim}.json", "baseline_reference.json"):
+        baseline_path = os.path.join(REPO, "benchmarks", name)
+        if not os.path.exists(baseline_path):
+            continue
         with open(baseline_path) as f:
             baseline = json.load(f)
         if (baseline.get("batch_size") == args.batch_size
                 and baseline.get("fixdim") == args.fixdim):
             vs_baseline = result["bags_per_sec_per_chip"] / baseline["bags_per_sec"]
+            break
 
     line = {"metric": f"{args.mode}_train_bags_per_sec_per_chip",
             "value": round(result["bags_per_sec_per_chip"], 3),
             "unit": "bags/s/chip",
-            "vs_baseline": round(vs_baseline, 3)}
+            "vs_baseline": round(vs_baseline, 3),
+            "fixdim": args.fixdim,
+            "mfu": round(result["mfu"], 4)}
     if args.full:
         print(json.dumps(result, indent=2))
     print(json.dumps(line))

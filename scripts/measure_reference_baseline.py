@@ -145,7 +145,8 @@ def main():
         "wall_sec": dt,
     }
     os.makedirs(os.path.join(REPO, "benchmarks"), exist_ok=True)
-    out = os.path.join(REPO, "benchmarks", "baseline_reference.json")
+    suffix = "" if args.fixdim == 2500 else f"_{args.fixdim}"
+    out = os.path.join(REPO, "benchmarks", f"baseline_reference{suffix}.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))

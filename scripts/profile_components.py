@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Component-level timing of the deformpathomic step on the live device.
+
+Times (fetch-synced, two-point to cancel tunnel overhead): full train step,
+eval forward, the CPB bias alone (pallas + naive, fwd and fwd+bwd), the
+deformable attention with CPB zeroed, and the grid-sample+offsets path — to
+locate where the step time goes before optimizing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(fn, args, steps=10, small=2):
+    import jax
+
+    out = fn(*args)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(np.asarray(leaf.ravel()[0]))  # sync (compile)
+
+    def run(n):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = fn(*args)
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        float(np.asarray(leaf.ravel()[0]))
+        return time.perf_counter() - t0
+
+    t_small = run(small)
+    t_big = run(small + steps)
+    return (t_big - t_small) / steps * 1000.0  # ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--fixdim", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--components", nargs="+", default=["all"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_batch
+    from sml_tpu.config import Config
+    from sml_tpu.models.factory import define_net, define_optimizer, init_model
+    from sml_tpu.ops.deformable import CPB2D
+    from sml_tpu.train.state import TrainState
+    from sml_tpu.train.steps import make_eval_step, make_train_step
+
+    b, n = args.batch_size, args.fixdim
+    side = int(np.ceil(np.sqrt(n)))
+    hd = side // 4
+    j = hd * hd
+    g = 8
+    results = {"batch_size": b, "fixdim": n, "side": side, "J": j,
+               "device": str(jax.devices()[0])}
+    want = set(args.components)
+    has = lambda k: "all" in want or k in want
+
+    config = Config(mode="deformpathomic", fixdim=n, batch_size=b,
+                    task_type="diag2021", compute_dtype="bfloat16",
+                    gradient_modulate=True, return_vgrid=True, use_pallas=True)
+    model = define_net(config)
+    batch = _example_batch(config, b)
+    variables = init_model(config, model, jax.random.PRNGKey(0), batch)
+
+    if has("train"):
+        tx = define_optimizer(config, steps_per_epoch=100)
+        state = TrainState.create(variables, tx, jax.random.PRNGKey(1))
+        # no donation so the same state can be reused across timing reps
+        step_nodonate = jax.jit(make_train_step(config, model, tx, jit=False))
+        results["train_step_ms"] = timed(
+            lambda s: step_nodonate(s, batch)[1]["loss"], (state,), args.steps)
+        print("train_step_ms", results["train_step_ms"], flush=True)
+
+    if has("fwd"):
+        eval_step = make_eval_step(config, model)
+        results["eval_fwd_ms"] = timed(
+            lambda v: eval_step(v, batch)["loss"], (variables,), args.steps)
+        print("eval_fwd_ms", results["eval_fwd_ms"], flush=True)
+
+    # CPB alone at the deform shapes: x/y axes length `side`, grid_kv (B*g, J, 2)
+    rng = np.random.default_rng(0)
+    x_axis = jnp.asarray(np.linspace(-1, 1, side, dtype=np.float32))
+    y_axis = jnp.asarray(np.linspace(-1, 1, side, dtype=np.float32))
+    grid_kv = jnp.asarray(rng.uniform(-1, 1, size=(b * g, j, 2)).astype(np.float32))
+
+    for impl in ("pallas", "naive"):
+        if not has(f"cpb_{impl}"):
+            continue
+        mod = CPB2D(dim=32, heads=8, offset_groups=g, impl=impl,
+                    dtype=jnp.bfloat16)
+        params = mod.init(jax.random.PRNGKey(0), x_axis, y_axis, grid_kv, b)
+
+        fwd = jax.jit(lambda p, gkv: mod.apply(p, x_axis, y_axis, gkv, b))
+        results[f"cpb_{impl}_fwd_ms"] = timed(fwd, (params, grid_kv), args.steps)
+        print(f"cpb_{impl}_fwd_ms", results[f"cpb_{impl}_fwd_ms"], flush=True)
+
+        def loss_fn(p, gkv):
+            return jnp.sum(mod.apply(p, x_axis, y_axis, gkv, b) ** 2)
+
+        grad = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+        results[f"cpb_{impl}_fwdbwd_ms"] = timed(
+            lambda p, gkv: grad(p, gkv)[1], (params, grid_kv), args.steps)
+        print(f"cpb_{impl}_fwdbwd_ms", results[f"cpb_{impl}_fwdbwd_ms"], flush=True)
+
+    if has("nocpb"):
+        # deform attention with the CPB zeroed: isolates qkv/offsets/grid-sample/
+        # attention cost
+        import sml_tpu.ops.deformable as dmod
+
+        orig = dmod.CPB2D.__call__
+
+        def zero_bias(self, x_coords, y_coords, grid_kv_, batch):
+            return jnp.zeros((batch, self.heads, x_coords.shape[0] * y_coords.shape[0],
+                              grid_kv_.shape[1]), jnp.float32)
+
+        dmod.CPB2D.__call__ = zero_bias
+        try:
+            model2 = define_net(config)
+            eval_step2 = make_eval_step(config, model2)
+            results["eval_fwd_nocpb_ms"] = timed(
+                lambda v: eval_step2(v, batch)["loss"], (variables,), args.steps)
+            print("eval_fwd_nocpb_ms", results["eval_fwd_nocpb_ms"], flush=True)
+
+            tx = define_optimizer(config, steps_per_epoch=100)
+            state2 = TrainState.create(variables, tx, jax.random.PRNGKey(1))
+            step2 = jax.jit(make_train_step(config, model2, tx, jit=False))
+            results["train_step_nocpb_ms"] = timed(
+                lambda s: step2(s, batch)[1]["loss"], (state2,), args.steps)
+            print("train_step_nocpb_ms", results["train_step_nocpb_ms"], flush=True)
+        finally:
+            dmod.CPB2D.__call__ = orig
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -113,6 +113,7 @@ class Config:
     epochs: int = 20
     lr: float = 1.0e-3
     lr_policy: str = "cosine"             # linear | exp | step | plateau | cosine | onecycle | none
+    survival_loss: str = "nll_surv"       # loss zoo: ce_surv | nll_surv | cox_surv | nll_surv_{kl,mse,l1,cos,ol}
     lr_decay_iters: int = 50
     epoch_count: int = 1
     epochs_decay: int = 10

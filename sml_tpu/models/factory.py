@@ -176,7 +176,8 @@ def make_lr_schedule(config: Config, steps_per_epoch: int) -> Callable[[int], fl
             return 0.1 ** (epoch // config.lr_decay_iters)
         if policy == "cosine":
             return 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / config.epochs))
-        # "plateau" is metric-driven in torch; approximated as constant here
+        # "plateau" never reaches here (define_optimizer injects a mutable lr
+        # driven by ReduceLROnPlateau); "none" = constant
         return jnp.asarray(1.0)
 
     def schedule(count):
@@ -188,7 +189,6 @@ def make_lr_schedule(config: Config, steps_per_epoch: int) -> Callable[[int], fl
 
 def define_optimizer(config: Config, steps_per_epoch: int = 1
                      ) -> optax.GradientTransformation:
-    sched = make_lr_schedule(config, steps_per_epoch)
     wd = config.weight_decay
     decay = [optax.add_decayed_weights(wd)] if wd else []
     if config.optimizer == "adam":
@@ -200,7 +200,65 @@ def define_optimizer(config: Config, steps_per_epoch: int = 1
     else:
         raise NotImplementedError(
             f"optimizer [{config.optimizer}] is not implemented")
-    return optax.chain(*decay, core, optax.scale_by_learning_rate(sched))
+    if config.lr_policy == "plateau":
+        # metric-driven: the lr lives in opt_state.hyperparams, mutated between
+        # epochs by ReduceLROnPlateau via set_learning_rate (torch
+        # ReduceLROnPlateau semantics; reference models/model.py:105-106)
+        final = optax.inject_hyperparams(
+            lambda learning_rate: optax.scale_by_learning_rate(learning_rate))(
+            learning_rate=config.lr)
+    else:
+        sched = make_lr_schedule(config, steps_per_epoch)
+        final = optax.scale_by_learning_rate(sched)
+    return optax.chain(*decay, core, final)
+
+
+class ReduceLROnPlateau:
+    """Host-side torch ``ReduceLROnPlateau(mode='min', factor=0.2, threshold=0.01,
+    patience=5)`` (reference ``models/model.py:105-106``), rel-threshold mode."""
+
+    def __init__(self, lr: float, factor: float = 0.2, threshold: float = 0.01,
+                 patience: int = 5, min_lr: float = 0.0):
+        self.lr = lr
+        self.factor = factor
+        self.threshold = threshold
+        self.patience = patience
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.num_bad = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        if self.num_bad > self.patience:
+            self.lr = max(self.lr * self.factor, self.min_lr)
+            self.num_bad = 0
+        return self.lr
+
+
+def set_learning_rate(state, lr: float):
+    """Functionally update the injected learning_rate inside a TrainState's
+    opt_state (only meaningful under ``lr_policy='plateau'``)."""
+    import dataclasses
+
+    import numpy as np
+
+    def fix(entry):
+        hp = getattr(entry, "hyperparams", None)
+        if isinstance(hp, dict) and "learning_rate" in hp:
+            old = hp["learning_rate"]
+            new_hp = dict(hp, learning_rate=jnp.asarray(
+                np.asarray(lr, dtype=np.asarray(old).dtype)))
+            if hasattr(entry, "_replace"):          # NamedTuple-style state
+                return entry._replace(hyperparams=new_hp)
+            return dataclasses.replace(entry, hyperparams=new_hp)
+        return entry
+
+    new_opt_state = tuple(fix(e) for e in state.opt_state)
+    return state.replace(opt_state=new_opt_state)
 
 
 def define_act_layer(act_type: str = "Tanh"):

@@ -151,7 +151,11 @@ def seq_parallel_nystrom_attention(params: dict, x: jnp.ndarray,
 
 def run_seq_parallel_nystrom(mesh: Mesh, params: dict, x: jnp.ndarray,
                              mask: Optional[jnp.ndarray], **kwargs) -> jnp.ndarray:
-    """Convenience wrapper: shard x (b, N, dim) over mesh axis 'seq' and run."""
+    """Convenience wrapper: shard x (b, N, dim) over mesh axis 'seq' and run.
+
+    Params are passed as explicit replicated shard_map inputs (not closure
+    captures) so this composes inside a jitted train step's grad trace.
+    """
     from jax import shard_map
 
     axis = kwargs.pop("axis_name", "seq")
@@ -160,10 +164,11 @@ def run_seq_parallel_nystrom(mesh: Mesh, params: dict, x: jnp.ndarray,
 
     n_dev = mesh.shape[axis]
 
-    def body(x_l, mask_l):
-        return seq_parallel_nystrom_attention(params, x_l, mask_l,
+    def body(p, x_l, mask_l):
+        return seq_parallel_nystrom_attention(p, x_l, mask_l,
                                               axis_name=axis, n_dev=n_dev, **kwargs)
 
-    in_specs = (P(None, axis, None), P(None, axis))
+    param_specs = jax.tree_util.tree_map(lambda _: P(), params)
+    in_specs = (param_specs, P(None, axis, None), P(None, axis))
     return shard_map(body, mesh=mesh, in_specs=in_specs,
-                     out_specs=P(None, axis, None))(x, mask)
+                     out_specs=P(None, axis, None))(params, x, mask)

@@ -98,6 +98,12 @@ def train(config: Config, logger: Optional[MetricLogger] = None
     cur_iters = 0
     start = time.time()
 
+    plateau = None
+    if config.lr_policy == "plateau":
+        from sml_tpu.models.factory import ReduceLROnPlateau
+
+        plateau = ReduceLROnPlateau(config.lr)
+
     epoch_scan = None
     if config.device_loop:
         from sml_tpu.models.factory import define_optimizer
@@ -157,6 +163,12 @@ def train(config: Config, logger: Optional[MetricLogger] = None
                     "elapsed_sec": time.time() - start})
         print(f"epoch {epoch + 1}/{config.epochs} "
               f"val={val_m} test={test_m}", flush=True)
+
+        if plateau is not None:  # metric-driven LR (torch ReduceLROnPlateau)
+            from sml_tpu.models.factory import set_learning_rate
+
+            new_lr = plateau.step(val_m["loss"])
+            state = set_learning_rate(state, new_lr)
 
         if _is_better(config, val_m, best):
             best = dict(val_m)

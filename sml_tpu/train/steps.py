@@ -39,6 +39,44 @@ def _forward(config: Config, model, variables, batch, rng, train: bool):
     return result, None
 
 
+def _survival_loss(config: Config, hazards: jnp.ndarray, s: jnp.ndarray,
+                   labels: jnp.ndarray) -> jnp.ndarray:
+    """Config-selected survival loss (reference ``models/cmta_utils.py:1091-1118``).
+
+    ``nll_surv`` (+ its ``nll_surv_*`` aux variants) and ``ce_surv`` are
+    discrete-hazard losses; ``cox_surv`` ranks the aggregate risk ``-sum(S)``.
+    """
+    name = config.survival_loss
+    y, c = labels[:, 8], labels[:, 9]
+    if name == "ce_surv":
+        return losses.ce_surv_loss(hazards, s, y, c, alpha=0.0)
+    if name == "cox_surv":
+        risk = -jnp.sum(s, axis=1)
+        return losses.cox_loss(labels[:, 11], 1.0 - c, risk)
+    if name == "nll_surv" or name.startswith("nll_surv_"):
+        return losses.nll_surv_loss(hazards, s, y, c, alpha=0.0)
+    raise NotImplementedError(f"survival_loss [{name}]")
+
+
+def _cmta_alignment(config: Config, out: Dict[str, Any]) -> jnp.ndarray:
+    """CMTA alignment term.  Default = the reference's ACTIVE behavior
+    (plain L1 on detached cls tokens, ``train_test.py:370-373``); a
+    ``survival_loss`` zoo variant (``nll_surv_{kl,mse,l1,cos,ol}``) swaps in the
+    corresponding auxiliary loss (``models/cmta_utils.py:1098-1117``)."""
+    sg = jax.lax.stop_gradient
+    p, p_hat, g, g_hat = out["P"], out["P_hat"], out["G"], out["G_hat"]
+    name = config.survival_loss if config.task_type == "survival" else "nll_surv"
+    if name == "nll_surv_ol":
+        return losses.orthogonal_loss(p, p_hat, g, g_hat, gamma=0.5).mean()
+    pair = {
+        "nll_surv_kl": losses.kl_loss,
+        "nll_surv_mse": lambda a, b: jnp.mean((a - b) ** 2),
+        "nll_surv_l1": losses.l1_loss,
+        "nll_surv_cos": lambda a, b: losses.cosine_loss(a, b).mean(),
+    }.get(name, losses.l1_loss)
+    return 0.5 * (pair(sg(p), p_hat) + pair(sg(g), g_hat))
+
+
 def compute_mode_loss(config: Config, out: Dict[str, Any], labels: jnp.ndarray,
                       train: bool = True) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Per-mode total loss (reference ``train_test.py:60-77, 349-375``)."""
@@ -50,7 +88,7 @@ def compute_mode_loss(config: Config, out: Dict[str, Any], labels: jnp.ndarray,
         if task == "survival":
             # model already applied sigmoid: logits ARE hazards
             s = jnp.cumprod(1.0 - main, axis=1)
-            loss3 = losses.nll_surv_loss(main, s, labels[:, 8], labels[:, 9], alpha=0.0)
+            loss3 = _survival_loss(config, main, s, labels)
         else:
             loss3 = losses.task_loss(main, labels, task, train=train)
         total = loss3
@@ -73,15 +111,12 @@ def compute_mode_loss(config: Config, out: Dict[str, Any], labels: jnp.ndarray,
         if task == "survival":
             hazards = out.get("hazards", jax.nn.sigmoid(logits))
             s = out.get("S", jnp.cumprod(1.0 - hazards, axis=1))
-            loss3 = losses.nll_surv_loss(hazards, s, labels[:, 8], labels[:, 9],
-                                         alpha=0.0)
+            loss3 = _survival_loss(config, hazards, s, labels)
         else:
             loss3 = losses.task_loss(logits, labels, task, train=train)
         total = loss3
         if mode == "cmta":
-            sg = jax.lax.stop_gradient
-            sim = 0.5 * (losses.l1_loss(sg(out["P"]), out["P_hat"])
-                         + losses.l1_loss(sg(out["G"]), out["G_hat"]))
+            sim = _cmta_alignment(config, out)
             total = loss3 + sim
             aux["alignment_loss"] = sim
         aux["loss3"] = loss3
@@ -92,8 +127,7 @@ def compute_mode_loss(config: Config, out: Dict[str, Any], labels: jnp.ndarray,
         if task == "survival":
             hazards = jax.nn.sigmoid(logits)
             s = jnp.cumprod(1.0 - hazards, axis=1)
-            loss3 = losses.nll_surv_loss(hazards, s, labels[:, 8], labels[:, 9],
-                                         alpha=0.0)
+            loss3 = _survival_loss(config, hazards, s, labels)
         else:
             loss3 = losses.task_loss(logits, labels, task, train=train)
         aux["loss3"] = loss3
