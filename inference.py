@@ -20,10 +20,17 @@ def main(argv=None) -> int:
     parser = build_parser(yaml_cfg)
     parser.add_argument("--model_fp", default="", type=str,
                         help="checkpoint path (weights-only, e.g. .../best_modal)")
+    parser.add_argument("--attribution", default="", type=str,
+                        choices=["", "mcat_groups"],
+                        help="post-eval attribution: 'mcat_groups' = per-signature-"
+                             "group integrated gradients through the co-attention "
+                             "stack (reference MCAT_Surv.captum, model.py:669-705)")
     args = parser.parse_args(argv)
     model_fp = args.model_fp
+    attribution = args.attribution
     d = vars(args)
     d.pop("model_fp")
+    d.pop("attribution")
     config = Config(**d)
 
     if not model_fp or not os.path.exists(model_fp):
@@ -58,6 +65,27 @@ def main(argv=None) -> int:
 
     logger = MetricLogger(config, out_dir=config.checkpoints, disabled=config.debug)
     logger.log({"test": metrics})
+
+    if attribution == "mcat_groups":
+        if config.mode != "mcat":
+            raise ValueError("--attribution mcat_groups requires --mode mcat")
+        import numpy as np
+
+        from sml_tpu.utils.importance import mcat_group_attribution
+
+        per_gene, per_group = mcat_group_attribution(
+            model, variables, list(test_loader))
+        out_csv = os.path.join(config.checkpoints, "gene_importance.csv")
+        with open(out_csv, "w") as f:
+            f.write("gene_index,importance\n")
+            for i, v in enumerate(per_gene):
+                f.write(f"{i},{v}\n")
+        print("per-signature-group |IG| attribution of survival risk "
+              f"(groups of {(100, 100, 100, 131)} genes): "
+              f"{np.array2string(per_group, precision=6)}")
+        print(f"per-gene attribution written to {out_csv}")
+        logger.log({"attribution": {"groups": [float(v) for v in per_group]}})
+
     logger.close()
     return 0
 

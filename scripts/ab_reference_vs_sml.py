@@ -233,15 +233,18 @@ def main():
     torch.cuda.FloatTensor = torch.FloatTensor
     torch.manual_seed(0)
 
+    out = os.path.join(REPO, "benchmarks", "ab_synthetic.json")
     results = []
+    if os.path.exists(out):  # merge with prior runs (keyed by mode)
+        with open(out) as f:
+            results = json.load(f)
     for mode in args.modes:
         if mode == "deformpathomic":
             # reference hard-codes N=2500 (DeformableAttention2D.py:239); tiny cohort
             r = ab_mode(mode, 2500, args.deform_cohort, 4, args.deform_epochs, torch)
         else:
             r = ab_mode(mode, 64, args.cohort, 8, args.epochs, torch)
-        results.append(r)
-        out = os.path.join(REPO, "benchmarks", "ab_synthetic.json")
+        results = [x for x in results if x["mode"] != mode] + [r]
         with open(out, "w") as f:
             json.dump(results, f, indent=2)
 

@@ -86,6 +86,10 @@ class Config:
     workers: int = 0                      # host-side prefetch threads (0 = sync)
     data_axis: str = "data"               # mesh axis name for data parallelism
     num_devices: int = 0                  # 0 = all visible devices
+    seq_devices: int = 0                  # sequence-parallel shards of the patch axis
+                                          # (0/1 = off); builds a (data, seq) mesh and
+                                          # routes Nystrom attention through
+                                          # parallel/seq_parallel.py under shard_map
 
     # --- modality fusion ---
     fusion_type: str = "concat"           # "concat" | "add" | "pofusion"
@@ -127,9 +131,13 @@ class Config:
     use_pallas: bool = True               # use fused Pallas kernels on TPU where available
     eval_every_iters: int = 0             # reference evals every 10 iters; 0 = per-epoch only
     remat: bool = False                   # jax.checkpoint the heavy branches
-    device_loop: bool = False             # scan a whole epoch in ONE dispatch
-                                          # (amortizes host/dispatch overhead; epoch
-                                          # batches must fit in HBM)
+    device_loop: bool = False             # scan train steps in one dispatch per chunk
+                                          # (amortizes host/dispatch overhead)
+    device_loop_chunk: int = 0            # steps per device-loop dispatch; 0 = whole
+                                          # epoch in one scan (requires the epoch to
+                                          # fit in HBM); k>0 streams the epoch in
+                                          # k-step chunks with the next chunk's
+                                          # host->device transfer overlapping compute
 
     # --- losses ---
     gradient_modulate: bool = True

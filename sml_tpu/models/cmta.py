@@ -28,6 +28,7 @@ class TransformerP(nn.Module):
     """Square-pad + cls + TransLayer/PPEG/TransLayer (reference ``cmta_utils.py:894-924``)."""
     feature_dim: int = 256
     dtype: Optional[jnp.dtype] = None
+    seq_mesh: Optional[object] = None     # shard the (long) patch-token axis
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, deterministic: bool = False
@@ -43,11 +44,11 @@ class TransformerP(nn.Module):
                          (1, 1, self.feature_dim))
         h = jnp.concatenate([jnp.tile(cls, (b, 1, 1)).astype(h.dtype), h], axis=1)
 
-        h = TransLayer(self.feature_dim, dtype=self.dtype, name="layer1")(
-            h, deterministic=deterministic)
+        h = TransLayer(self.feature_dim, dtype=self.dtype, seq_mesh=self.seq_mesh,
+                       name="layer1")(h, deterministic=deterministic)
         h = PPEG(self.feature_dim, dtype=self.dtype, name="pos_layer")(h, side, side)
-        h = TransLayer(self.feature_dim, dtype=self.dtype, name="layer2")(
-            h, deterministic=deterministic)
+        h = TransLayer(self.feature_dim, dtype=self.dtype, seq_mesh=self.seq_mesh,
+                       name="layer2")(h, deterministic=deterministic)
         h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
         return h[:, 0], h[:, 1:]
 
@@ -81,6 +82,8 @@ class CMTA(nn.Module):
     dropout: float = 0.25
     fusion: str = "concat"
     dtype: Optional[jnp.dtype] = None
+    seq_mesh: Optional[object] = None     # seq-shards the pathomics branch only
+                                          # (the genomics stream is ~5 tokens)
 
     @nn.compact
     def __call__(self, x_path: jnp.ndarray, x_omic: jnp.ndarray,
@@ -100,7 +103,8 @@ class CMTA(nn.Module):
                                    name=f"sig_net{idx}")(sig, deterministic))
         genomics = jnp.stack(h_omic, axis=1)                       # (B, G, d)
 
-        p_enc_cls, p_tok = TransformerP(d, dtype=self.dtype, name="pathomics_encoder")(
+        p_enc_cls, p_tok = TransformerP(d, dtype=self.dtype, seq_mesh=self.seq_mesh,
+                                        name="pathomics_encoder")(
             h_path, deterministic)
         g_enc_cls, g_tok = TransformerG(d, dtype=self.dtype, name="genomics_encoder")(
             genomics, deterministic)
@@ -110,7 +114,8 @@ class CMTA(nn.Module):
         g_in_p, _ = RawMultiheadAttention(d, 1, dtype=self.dtype, name="G_in_P_Att")(
             g_tok, p_tok, p_tok, deterministic=deterministic)
 
-        p_dec_cls, _ = TransformerP(d, dtype=self.dtype, name="pathomics_decoder")(
+        p_dec_cls, _ = TransformerP(d, dtype=self.dtype, seq_mesh=self.seq_mesh,
+                                    name="pathomics_decoder")(
             p_in_g, deterministic)
         g_dec_cls, _ = TransformerG(d, dtype=self.dtype, name="genomics_decoder")(
             g_in_p, deterministic)

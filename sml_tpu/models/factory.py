@@ -40,6 +40,15 @@ def _dtype(config: Config):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[config.compute_dtype]
 
 
+def _seq_mesh(config: Config):
+    """The (data, seq) mesh when sequence parallelism is configured, else None."""
+    if getattr(config, "seq_devices", 0) and config.seq_devices > 1:
+        from sml_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(config)
+    return None
+
+
 def define_net(config: Config) -> nn.Module:
     init_max = config.init_type == "max"
     dtype = _dtype(config)
@@ -47,7 +56,7 @@ def define_net(config: Config) -> nn.Module:
     if mode == "path":
         if getattr(config, "path_arch", "abmil") == "transmil":
             return TransMIL(label_dim=config.label_dim, path_dim=config.path_dim,
-                            dtype=dtype)
+                            dtype=dtype, seq_mesh=_seq_mesh(config))
         return ABMIL(label_dim=config.label_dim, path_dim=config.path_dim,
                      input_path_dim=config.input_path_dim, dtype=dtype)
     if mode == "omic":
@@ -67,7 +76,8 @@ def define_net(config: Config) -> nn.Module:
     if mode == "mcat":
         return MCATSurv(label_dim=config.label_dim, dtype=dtype)
     if mode == "cmta":
-        return CMTA(label_dim=config.label_dim, dtype=dtype)
+        return CMTA(label_dim=config.label_dim, dtype=dtype,
+                    seq_mesh=_seq_mesh(config))
     if mode == "deformpathomic":
         # the fused Pallas eval kernel only lowers on real TPU backends
         use_pallas = bool(config.use_pallas) and jax.default_backend() == "tpu"

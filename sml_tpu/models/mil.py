@@ -78,6 +78,7 @@ class TransLayer(nn.Module):
     dim: int = 512
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None
+    seq_mesh: Optional[object] = None     # (data, seq) Mesh for token-axis sharding
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = False,
@@ -86,6 +87,7 @@ class TransLayer(nn.Module):
         y = NystromAttention(dim=self.dim, dim_head=self.dim // 8, heads=8,
                              num_landmarks=self.dim // 2, pinv_iterations=6,
                              residual=True, dropout=self.dropout, dtype=self.dtype,
+                             seq_mesh=self.seq_mesh,
                              name="attn")(y, mask=mask, deterministic=deterministic)
         return x + y
 
@@ -95,6 +97,7 @@ class TransMIL(nn.Module):
     path_dim: int = 128
     hidden_dim: int = 512
     dtype: Optional[jnp.dtype] = None
+    seq_mesh: Optional[object] = None
 
     @nn.compact
     def __call__(self, x_path: jnp.ndarray, deterministic: bool = False,
@@ -116,11 +119,11 @@ class TransMIL(nn.Module):
         if mask is not None:  # cls token always attends/attended
             mask = jnp.concatenate([jnp.ones((b, 1), bool), mask], axis=1)
 
-        h = TransLayer(self.hidden_dim, dtype=self.dtype, name="layer1")(
-            h, deterministic=deterministic, mask=mask)
+        h = TransLayer(self.hidden_dim, dtype=self.dtype, seq_mesh=self.seq_mesh,
+                       name="layer1")(h, deterministic=deterministic, mask=mask)
         h = PPEG(self.hidden_dim, dtype=self.dtype, name="pos_layer")(h, side, side)
-        h = TransLayer(self.hidden_dim, dtype=self.dtype, name="layer2")(
-            h, deterministic=deterministic, mask=mask)
+        h = TransLayer(self.hidden_dim, dtype=self.dtype, seq_mesh=self.seq_mesh,
+                       name="layer2")(h, deterministic=deterministic, mask=mask)
 
         h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)[:, 0]
         logits = nn.Dense(self.label_dim, kernel_init=torch_kernel_init,

@@ -26,6 +26,22 @@ from sml_tpu.ops.linear_algebra import moore_penrose_pinv
 _NEG_INF = -3.4028234663852886e38  # -finfo(f32).max, matching torch's mask fill value
 
 
+class _DenseParams(nn.Module):
+    """Registers a Dense-shaped param subtree ({kernel[, bias]}) without computing;
+    lets the sequence-parallel path own the matmuls inside shard_map while keeping
+    the checkpoint tree identical to the single-device ``nn.Dense`` path."""
+    shape: tuple
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        p = {"kernel": self.param("kernel", torch_kernel_init, self.shape)}
+        if self.use_bias:
+            p["bias"] = self.param("bias", nn.initializers.zeros,
+                                   (self.shape[-1],))
+        return p
+
+
 class NystromAttention(nn.Module):
     dim: int
     dim_head: int = 64
@@ -37,6 +53,7 @@ class NystromAttention(nn.Module):
     eps: float = 1e-8
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    seq_mesh: Optional[object] = None     # (data, seq) Mesh: shard the token axis
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
@@ -44,6 +61,10 @@ class NystromAttention(nn.Module):
         b, n, _ = x.shape
         h, m = self.heads, self.num_landmarks
         inner_dim = h * self.dim_head
+
+        if self.seq_mesh is not None and self.seq_mesh.shape.get("seq", 1) > 1:
+            assert not return_attn, "return_attn unsupported under seq parallelism"
+            return self._seq_parallel(x, mask, deterministic)
 
         # pad (at the FRONT, like the reference) so n divides into m landmark segments
         remainder = n % m
@@ -136,6 +157,50 @@ class NystromAttention(nn.Module):
             attn = attn1 @ attn2_inv @ attn3
             return out, attn
         return out
+
+    def _seq_parallel(self, x, mask, deterministic):
+        """Token-axis-sharded forward over the mesh's 'seq' axis (see
+        ``sml_tpu/parallel/seq_parallel.py``).  Params are declared through
+        :class:`_DenseParams` mirrors so the tree matches the single-device path
+        (checkpoints are interchangeable)."""
+        from sml_tpu.parallel.seq_parallel import run_seq_parallel_nystrom
+
+        b, n, d_in = x.shape
+        h, m = self.heads, self.num_landmarks
+        inner_dim = h * self.dim_head
+        params = {
+            "to_qkv": _DenseParams((d_in, inner_dim * 3), use_bias=False,
+                                   name="to_qkv")(),
+            "to_out": _DenseParams((inner_dim, self.dim), name="to_out")(),
+        }
+        if self.residual:
+            params["res_conv_kernel"] = self.param(
+                "res_conv_kernel",
+                jax.nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform",
+                                                     in_axis=0, out_axis=1),
+                (self.residual_conv_kernel, h))
+
+        # pad at the FRONT to a multiple of the landmark count (same rule as the
+        # single-device path).  Semantics must match that path exactly: with no
+        # caller mask, zero-padded tokens PARTICIPATE (qkv of a zero row is zero —
+        # to_qkv has no bias — so they behave as zero-keys/values, not -inf); with
+        # a caller mask, pad rows extend it as False.
+        pad = (m - n % m) if n % m else 0
+        if pad:
+            x = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
+            if mask is not None:
+                mask = jnp.pad(mask, ((0, 0), (pad, 0)), constant_values=False)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            params = jax.tree_util.tree_map(lambda p: p.astype(self.dtype), params)
+
+        out = run_seq_parallel_nystrom(
+            self.seq_mesh, params, x, mask, dim=self.dim, dim_head=self.dim_head,
+            heads=self.heads, num_landmarks=m,
+            pinv_iterations=self.pinv_iterations, residual=self.residual,
+            residual_conv_kernel=self.residual_conv_kernel, eps=self.eps)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out[:, -n:]
 
 
 class PreNorm(nn.Module):

@@ -12,13 +12,21 @@ from sml_tpu.config import Config
 
 
 def make_mesh(config: Optional[Config] = None, num_devices: int = 0,
-              axis_name: str = "data") -> Mesh:
+              axis_name: str = "data", seq_devices: int = 0) -> Mesh:
+    """1-D (data,) mesh, or a (data, seq) mesh when sequence parallelism is on."""
     if config is not None:
         num_devices = config.num_devices
         axis_name = config.data_axis
+        seq_devices = getattr(config, "seq_devices", 0)
     devices = jax.devices()
     if num_devices and num_devices > 0:
         devices = devices[:num_devices]
+    if seq_devices and seq_devices > 1:
+        if len(devices) % seq_devices:
+            raise ValueError(f"seq_devices={seq_devices} must divide the "
+                             f"{len(devices)} visible devices")
+        grid = np.asarray(devices).reshape(len(devices) // seq_devices, seq_devices)
+        return Mesh(grid, (axis_name, "seq"))
     return Mesh(np.asarray(devices), (axis_name,))
 
 

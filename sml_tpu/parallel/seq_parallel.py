@@ -154,21 +154,30 @@ def run_seq_parallel_nystrom(mesh: Mesh, params: dict, x: jnp.ndarray,
     """Convenience wrapper: shard x (b, N, dim) over mesh axis 'seq' and run.
 
     Params are passed as explicit replicated shard_map inputs (not closure
-    captures) so this composes inside a jitted train step's grad trace.
+    captures) so this composes inside a jitted train step's grad trace.  On a
+    2-D (data, seq) mesh the batch axis is co-sharded over 'data', so the same
+    body serves combined data+sequence parallelism (the 'data' axis is a plain
+    outer batch dim inside the body — collectives name only 'seq').
     """
     from jax import shard_map
 
     axis = kwargs.pop("axis_name", "seq")
+    # mask=None must keep UNMASKED semantics (zero-padded tokens participate in the
+    # softmaxes and landmark means exactly as in the single-device module) — the
+    # all-ones array below is only a shard_map input carrier
+    use_mask = mask is not None
     if mask is None:
         mask = jnp.ones(x.shape[:2], bool)
 
     n_dev = mesh.shape[axis]
+    batch_axis = kwargs.pop("batch_axis", "data")
+    b_ax = batch_axis if batch_axis in mesh.shape else None
 
     def body(p, x_l, mask_l):
-        return seq_parallel_nystrom_attention(p, x_l, mask_l,
+        return seq_parallel_nystrom_attention(p, x_l, mask_l if use_mask else None,
                                               axis_name=axis, n_dev=n_dev, **kwargs)
 
     param_specs = jax.tree_util.tree_map(lambda _: P(), params)
-    in_specs = (param_specs, P(None, axis, None), P(None, axis))
+    in_specs = (param_specs, P(b_ax, axis, None), P(b_ax, axis))
     return shard_map(body, mesh=mesh, in_specs=in_specs,
-                     out_specs=P(None, axis, None))(params, x, mask)
+                     out_specs=P(b_ax, axis, None))(params, x, mask)

@@ -17,10 +17,10 @@ def evaluate(config: Config, eval_step: Callable, variables, loader,
              mesh=None) -> Dict[str, float]:
     """Run a full pass; returns {'cindex'} or the 7 classification metrics + loss.
 
-    Quality metrics are computed over exactly the real samples (padded tail rows are
-    mask-filtered).  The reported ``loss`` averages per-batch losses including pad
-    duplicates in the final batch — same spirit as the reference's running test loss
-    (train_test.py:504-509), cosmetically off by the padding on the last batch only.
+    Quality metrics AND the per-batch loss are computed over exactly the real
+    samples: the sample mask rides into the jitted eval step, so the wrap-padded
+    tail rows of the final batch contribute nothing — matching the reference's
+    running test loss over its smaller remainder batch (train_test.py:504-509).
     """
     import jax
 
@@ -30,11 +30,11 @@ def evaluate(config: Config, eval_step: Callable, variables, loader,
     # full round-trip each on tunneled TPUs
     outs, host_labels, host_masks = [], [], []
     for batch in loader:
-        mask = batch.pop("sample_mask")
+        mask = batch["sample_mask"]
         dev_batch = shard_batch(mesh, batch) if mesh is not None else batch
         outs.append(eval_step(variables, dev_batch))
         host_labels.append(np.asarray(batch["labels"]))
-        host_masks.append(mask)
+        host_masks.append(np.asarray(mask))
     outs = jax.device_get(outs)
 
     risks, probs, labels, losses_ = [], [], [], []

@@ -104,31 +104,53 @@ def train(config: Config, logger: Optional[MetricLogger] = None
 
         plateau = ReduceLROnPlateau(config.lr)
 
-    epoch_scan = None
+    scan_chunk = scan_rem = None
     if config.device_loop:
         from sml_tpu.models.factory import define_optimizer
         from sml_tpu.train.steps import make_epoch_scan
 
         steps_per_epoch = max(len(train_loader), 1)
         tx = define_optimizer(config, steps_per_epoch)
-        epoch_scan = make_epoch_scan(config, define_net(config), tx,
-                                     num_steps=steps_per_epoch)
+        net = define_net(config)
+        # chunk=0: whole epoch in one scan (epoch must fit in HBM); chunk=k: stream
+        # the epoch in k-step dispatches — while chunk i computes, the host stacks
+        # and device_puts chunk i+1 (both async), so at most 2 chunks are resident
+        chunk = config.device_loop_chunk or steps_per_epoch
+        chunk = min(chunk, steps_per_epoch)
+        scan_chunk = make_epoch_scan(config, net, tx, num_steps=chunk)
+        if steps_per_epoch % chunk:
+            scan_rem = make_epoch_scan(config, net, tx,
+                                       num_steps=steps_per_epoch % chunk)
 
     for epoch in range(config.start_epoch, config.epochs):
         train_loader.set_epoch(epoch)
-        if epoch_scan is not None:
-            # whole epoch in one dispatch over device-resident stacked batches
+        if scan_chunk is not None:
             from sml_tpu.parallel.mesh import shard_stacked_batches
 
-            host_batches = []
+            chunk = config.device_loop_chunk or max(len(train_loader), 1)
+
+            def dispatch(buf, state):
+                stacked = {k: np.stack([b[k] for b in buf]) for k in buf[0]}
+                dev = shard_stacked_batches(mesh, stacked)
+                scan = scan_chunk if len(buf) == chunk else scan_rem
+                return scan(state, dev)
+
+            metric_chunks, buf = [], []
             for b in train_loader:
                 b.pop("sample_mask", None)
-                host_batches.append(b)
-            stacked = {k: np.stack([b[k] for b in host_batches])
-                       for k in host_batches[0]}
-            dev_batches = shard_stacked_batches(mesh, stacked)
-            state, metrics_stack = epoch_scan(state, dev_batches)
-            cur_iters += len(host_batches)
+                buf.append(b)
+                if len(buf) == chunk:
+                    state, m = dispatch(buf, state)  # async: next stack overlaps
+                    metric_chunks.append(m)
+                    cur_iters += len(buf)
+                    buf = []
+            if buf:
+                state, m = dispatch(buf, state)
+                metric_chunks.append(m)
+                cur_iters += len(buf)
+            metrics_stack = {
+                k: np.concatenate([np.asarray(m[k]) for m in metric_chunks])
+                for k in metric_chunks[0]}
             metrics = {k: v[-1] for k, v in metrics_stack.items()}
             logger.log({"training": {k: float(np.mean(v))
                                      for k, v in metrics_stack.items()}})

@@ -31,20 +31,38 @@ TASK_WEIGHTS_TEST = {
 TASK_LABEL_SLOT = {"diag2021": 5, "grade": 4, "subtype": 7}
 
 
+def _masked_mean(x: jnp.ndarray, sample_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Mean over valid samples (axis 0); equals ``x.mean()`` when mask is None.
+
+    Pad-row exactness for eval: the reference's final test batch is simply smaller
+    (torch keeps the remainder batch), whereas ours is wrap-padded to the static
+    shape — masking out pad rows reproduces the reference's small-batch mean.
+    """
+    if sample_mask is None:
+        return x.mean()
+    per_row = x.reshape(x.shape[0], -1).mean(axis=1)
+    m = sample_mask.astype(per_row.dtype)
+    return (per_row * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
 def weighted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
-                           weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                           weights: Optional[jnp.ndarray] = None,
+                           sample_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """torch ``nn.CrossEntropyLoss`` semantics: weighted mean normalized by the sum of
     the per-target weights."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
     if weights is None:
-        return nll.mean()
+        return _masked_mean(nll, sample_mask)
     w = jnp.asarray(weights, logits.dtype)[labels.astype(jnp.int32)]
-    return (w * nll).sum() / w.sum()
+    if sample_mask is not None:
+        w = w * sample_mask.astype(w.dtype)
+    return (w * nll).sum() / jnp.maximum(w.sum(), 1e-12)
 
 
 def nll_surv_loss(hazards: jnp.ndarray, s: Optional[jnp.ndarray], y: jnp.ndarray,
-                  c: jnp.ndarray, alpha: float = 0.4, eps: float = 1e-7) -> jnp.ndarray:
+                  c: jnp.ndarray, alpha: float = 0.4, eps: float = 1e-7,
+                  sample_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Discrete-hazard NLL with censoring (reference ``utils/utils.py:245-261``).
 
     hazards (B, K) in (0,1); y (B,) int bin; c (B,) censorship (1 = alive/censored).
@@ -62,11 +80,12 @@ def nll_surv_loss(hazards: jnp.ndarray, s: Optional[jnp.ndarray], y: jnp.ndarray
     censored = -c * jnp.log(jnp.clip(gather(s_padded, y + 1), min=eps))
     neg_l = censored + uncensored
     loss = (1.0 - alpha) * neg_l + alpha * uncensored
-    return loss.mean()
+    return _masked_mean(loss, sample_mask)
 
 
 def ce_surv_loss(hazards: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray,
-                 c: jnp.ndarray, alpha: float = 0.4, eps: float = 1e-7) -> jnp.ndarray:
+                 c: jnp.ndarray, alpha: float = 0.4, eps: float = 1e-7,
+                 sample_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Cross-entropy survival loss (reference ``models/cmta_utils.py:1160-1177``)."""
     y = y.astype(jnp.int32)[:, None]
     c = c.astype(hazards.dtype)[:, None]
@@ -78,7 +97,7 @@ def ce_surv_loss(hazards: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray,
                         + jnp.log(jnp.clip(gather(hazards, y), min=eps)))
     ce_l = (-c * jnp.log(jnp.clip(gather(s, y), min=eps))
             - (1.0 - c) * jnp.log(jnp.clip(1.0 - gather(s, y), min=eps)))
-    return ((1.0 - alpha) * ce_l + alpha * reg).mean()
+    return _masked_mean((1.0 - alpha) * ce_l + alpha * reg, sample_mask)
 
 
 def define_loss(survival_loss: str):
@@ -104,24 +123,34 @@ def define_loss(survival_loss: str):
 
 
 def cox_loss(survtime: jnp.ndarray, censor: jnp.ndarray,
-             hazard_pred: jnp.ndarray) -> jnp.ndarray:
+             hazard_pred: jnp.ndarray,
+             sample_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Cox partial likelihood (reference ``utils/utils.py:293-308``; unused by active
     modes but kept for inventory parity)."""
     r_mat = (survtime[None, :] >= survtime[:, None]).astype(hazard_pred.dtype)
     theta = hazard_pred.reshape(-1)
     exp_theta = jnp.exp(theta)
-    return -jnp.mean((theta - jnp.log(jnp.sum(exp_theta * r_mat, axis=1))) * censor)
+    if sample_mask is not None:
+        r_mat = r_mat * sample_mask.astype(r_mat.dtype)[None, :]
+    ll = (theta - jnp.log(jnp.maximum(jnp.sum(exp_theta * r_mat, axis=1), 1e-30))) \
+        * censor
+    return -_masked_mean(ll, sample_mask)
 
 
-def l1_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.abs(a - b).mean()
+def l1_loss(a: jnp.ndarray, b: jnp.ndarray,
+            sample_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    return _masked_mean(jnp.abs(a - b), sample_mask)
 
 
-def kl_loss(y: jnp.ndarray, y_hat: jnp.ndarray) -> jnp.ndarray:
+def kl_loss(y: jnp.ndarray, y_hat: jnp.ndarray,
+            sample_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """torch ``F.kl_div(y_hat.softmax().log(), y.softmax(), reduction='sum')``."""
     p = jax.nn.softmax(y, axis=-1)
     logq = jax.nn.log_softmax(y_hat, axis=-1)
-    return jnp.sum(p * (jnp.log(jnp.clip(p, min=1e-12)) - logq))
+    per_row = jnp.sum(p * (jnp.log(jnp.clip(p, min=1e-12)) - logq), axis=-1)
+    if sample_mask is not None:
+        per_row = per_row * sample_mask.astype(per_row.dtype)
+    return jnp.sum(per_row)
 
 
 def cosine_loss(y: jnp.ndarray, y_hat: jnp.ndarray) -> jnp.ndarray:
@@ -145,7 +174,8 @@ def _cos(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     return num / jnp.maximum(den, eps)
 
 
-def batch_similarity_loss(omic: jnp.ndarray, vgrid: jnp.ndarray) -> jnp.ndarray:
+def batch_similarity_loss(omic: jnp.ndarray, vgrid: jnp.ndarray,
+                          sample_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Subspace batch-similarity loss (reference ``utils/loss.py:7-40``), summed.
 
     omic: (N, F) global-batch omic vectors (the reference passes the (N, T, F)
@@ -156,25 +186,39 @@ def batch_similarity_loss(omic: jnp.ndarray, vgrid: jnp.ndarray) -> jnp.ndarray:
     """
     n = omic.shape[0]
     omic2 = omic.reshape(n, -1)
-    sim = omic2 @ omic2.T
-    sim = sim / jnp.linalg.norm(sim, axis=1, keepdims=True)
-
     g = vgrid.shape[1]
     v = jnp.moveaxis(vgrid.reshape(n, g, -1), 1, 0)          # (g, N, F)
-    vsim = jnp.einsum("gif,gjf->gij", v, v)
-    vsim = vsim / jnp.linalg.norm(vsim, axis=2, keepdims=True)
-    mean_vsim = vsim.mean(axis=0)
 
-    return jnp.sum((sim - mean_vsim) ** 2 / n)
+    if sample_mask is None:
+        sim = omic2 @ omic2.T
+        sim = sim / jnp.linalg.norm(sim, axis=1, keepdims=True)
+        vsim = jnp.einsum("gif,gjf->gij", v, v)
+        vsim = vsim / jnp.linalg.norm(vsim, axis=2, keepdims=True)
+        return jnp.sum((sim - vsim.mean(axis=0)) ** 2 / n)
+
+    # masked: identical to computing on the valid-rows submatrix (zeroed pad rows
+    # contribute nothing to row norms; pad rows/cols excluded from the sum)
+    m = sample_mask.astype(omic2.dtype)
+    omic2 = omic2 * m[:, None]
+    sim = omic2 @ omic2.T
+    sim = sim / jnp.maximum(jnp.linalg.norm(sim, axis=1, keepdims=True), 1e-30)
+    v = v * m[None, :, None]
+    vsim = jnp.einsum("gif,gjf->gij", v, v)
+    vsim = vsim / jnp.maximum(jnp.linalg.norm(vsim, axis=2, keepdims=True), 1e-30)
+    diff = (sim - vsim.mean(axis=0)) ** 2 * (m[:, None] * m[None, :])
+    return jnp.sum(diff) / jnp.maximum(m.sum(), 1.0)
 
 
 def task_loss(logits: jnp.ndarray, labels: jnp.ndarray, task_type: str,
               hazards: Optional[jnp.ndarray] = None, s: Optional[jnp.ndarray] = None,
-              train: bool = True) -> jnp.ndarray:
+              train: bool = True,
+              sample_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Dispatch the reference's per-task loss (train vs test class weights)."""
     if task_type == "survival":
         h = hazards if hazards is not None else jax.nn.sigmoid(logits)
-        return nll_surv_loss(h, s, labels[:, 8], labels[:, 9], alpha=0.0)
+        return nll_surv_loss(h, s, labels[:, 8], labels[:, 9], alpha=0.0,
+                             sample_mask=sample_mask)
     slot = TASK_LABEL_SLOT[task_type]
     weights = (TASK_WEIGHTS_TRAIN if train else TASK_WEIGHTS_TEST)[task_type]
-    return weighted_cross_entropy(logits, labels[:, slot], weights)
+    return weighted_cross_entropy(logits, labels[:, slot], weights,
+                                  sample_mask=sample_mask)

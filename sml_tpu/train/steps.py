@@ -40,7 +40,7 @@ def _forward(config: Config, model, variables, batch, rng, train: bool):
 
 
 def _survival_loss(config: Config, hazards: jnp.ndarray, s: jnp.ndarray,
-                   labels: jnp.ndarray) -> jnp.ndarray:
+                   labels: jnp.ndarray, sample_mask=None) -> jnp.ndarray:
     """Config-selected survival loss (reference ``models/cmta_utils.py:1091-1118``).
 
     ``nll_surv`` (+ its ``nll_surv_*`` aux variants) and ``ce_surv`` are
@@ -49,16 +49,20 @@ def _survival_loss(config: Config, hazards: jnp.ndarray, s: jnp.ndarray,
     name = config.survival_loss
     y, c = labels[:, 8], labels[:, 9]
     if name == "ce_surv":
-        return losses.ce_surv_loss(hazards, s, y, c, alpha=0.0)
+        return losses.ce_surv_loss(hazards, s, y, c, alpha=0.0,
+                                   sample_mask=sample_mask)
     if name == "cox_surv":
         risk = -jnp.sum(s, axis=1)
-        return losses.cox_loss(labels[:, 11], 1.0 - c, risk)
+        return losses.cox_loss(labels[:, 11], 1.0 - c, risk,
+                               sample_mask=sample_mask)
     if name == "nll_surv" or name.startswith("nll_surv_"):
-        return losses.nll_surv_loss(hazards, s, y, c, alpha=0.0)
+        return losses.nll_surv_loss(hazards, s, y, c, alpha=0.0,
+                                    sample_mask=sample_mask)
     raise NotImplementedError(f"survival_loss [{name}]")
 
 
-def _cmta_alignment(config: Config, out: Dict[str, Any]) -> jnp.ndarray:
+def _cmta_alignment(config: Config, out: Dict[str, Any],
+                    sample_mask=None) -> jnp.ndarray:
     """CMTA alignment term.  Default = the reference's ACTIVE behavior
     (plain L1 on detached cls tokens, ``train_test.py:370-373``); a
     ``survival_loss`` zoo variant (``nll_surv_{kl,mse,l1,cos,ol}``) swaps in the
@@ -67,19 +71,25 @@ def _cmta_alignment(config: Config, out: Dict[str, Any]) -> jnp.ndarray:
     p, p_hat, g, g_hat = out["P"], out["P_hat"], out["G"], out["G_hat"]
     name = config.survival_loss if config.task_type == "survival" else "nll_surv"
     if name == "nll_surv_ol":
-        return losses.orthogonal_loss(p, p_hat, g, g_hat, gamma=0.5).mean()
+        return losses._masked_mean(
+            losses.orthogonal_loss(p, p_hat, g, g_hat, gamma=0.5), sample_mask)
     pair = {
-        "nll_surv_kl": losses.kl_loss,
-        "nll_surv_mse": lambda a, b: jnp.mean((a - b) ** 2),
-        "nll_surv_l1": losses.l1_loss,
-        "nll_surv_cos": lambda a, b: losses.cosine_loss(a, b).mean(),
-    }.get(name, losses.l1_loss)
+        "nll_surv_kl": lambda a, b: losses.kl_loss(a, b, sample_mask=sample_mask),
+        "nll_surv_mse": lambda a, b: losses._masked_mean((a - b) ** 2, sample_mask),
+        "nll_surv_l1": lambda a, b: losses.l1_loss(a, b, sample_mask=sample_mask),
+        "nll_surv_cos": lambda a, b: losses._masked_mean(
+            losses.cosine_loss(a, b), sample_mask),
+    }.get(name, lambda a, b: losses.l1_loss(a, b, sample_mask=sample_mask))
     return 0.5 * (pair(sg(p), p_hat) + pair(sg(g), g_hat))
 
 
 def compute_mode_loss(config: Config, out: Dict[str, Any], labels: jnp.ndarray,
-                      train: bool = True) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Per-mode total loss (reference ``train_test.py:60-77, 349-375``)."""
+                      train: bool = True, sample_mask=None
+                      ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Per-mode total loss (reference ``train_test.py:60-77, 349-375``).
+
+    ``sample_mask`` (eval only): excludes wrap-padded tail rows so the final
+    batch's loss matches the reference's smaller remainder batch exactly."""
     mode, task = config.mode, config.task_type
     aux: Dict[str, jnp.ndarray] = {}
 
@@ -88,13 +98,17 @@ def compute_mode_loss(config: Config, out: Dict[str, Any], labels: jnp.ndarray,
         if task == "survival":
             # model already applied sigmoid: logits ARE hazards
             s = jnp.cumprod(1.0 - main, axis=1)
-            loss3 = _survival_loss(config, main, s, labels)
+            loss3 = _survival_loss(config, main, s, labels, sample_mask)
         else:
-            loss3 = losses.task_loss(main, labels, task, train=train)
+            loss3 = losses.task_loss(main, labels, task, train=train,
+                                     sample_mask=sample_mask)
         total = loss3
         if config.return_vgrid:
-            bs_t = losses.batch_similarity_loss(out["omic_tumor"], out["vgrid_tumor"])
-            bs_i = losses.batch_similarity_loss(out["omic_immune"], out["vgrid_immune"])
+            bs_t = losses.batch_similarity_loss(out["omic_tumor"], out["vgrid_tumor"],
+                                                sample_mask=sample_mask)
+            bs_i = losses.batch_similarity_loss(out["omic_immune"],
+                                                out["vgrid_immune"],
+                                                sample_mask=sample_mask)
             batch_sim = 0.5 * bs_t + 0.5 * bs_i
             if config.batchloss_grad_scale == "ddp":
                 # reference GatherLayer semantics: full VALUE, 1/world-scaled GRADIENT
@@ -111,12 +125,13 @@ def compute_mode_loss(config: Config, out: Dict[str, Any], labels: jnp.ndarray,
         if task == "survival":
             hazards = out.get("hazards", jax.nn.sigmoid(logits))
             s = out.get("S", jnp.cumprod(1.0 - hazards, axis=1))
-            loss3 = _survival_loss(config, hazards, s, labels)
+            loss3 = _survival_loss(config, hazards, s, labels, sample_mask)
         else:
-            loss3 = losses.task_loss(logits, labels, task, train=train)
+            loss3 = losses.task_loss(logits, labels, task, train=train,
+                                     sample_mask=sample_mask)
         total = loss3
         if mode == "cmta":
-            sim = _cmta_alignment(config, out)
+            sim = _cmta_alignment(config, out, sample_mask)
             total = loss3 + sim
             aux["alignment_loss"] = sim
         aux["loss3"] = loss3
@@ -127,9 +142,10 @@ def compute_mode_loss(config: Config, out: Dict[str, Any], labels: jnp.ndarray,
         if task == "survival":
             hazards = jax.nn.sigmoid(logits)
             s = jnp.cumprod(1.0 - hazards, axis=1)
-            loss3 = _survival_loss(config, hazards, s, labels)
+            loss3 = _survival_loss(config, hazards, s, labels, sample_mask)
         else:
-            loss3 = losses.task_loss(logits, labels, task, train=train)
+            loss3 = losses.task_loss(logits, labels, task, train=train,
+                                     sample_mask=sample_mask)
         aux["loss3"] = loss3
         return loss3, aux
 
@@ -264,7 +280,9 @@ def make_epoch_scan(config: Config, model, tx: optax.GradientTransformation,
 
     Amortizes per-dispatch host/tunnel overhead; use when an epoch (or a chunk of it)
     fits on device — e.g. packed/synthetic data.  Returns jitted
-    (state, batches) -> (state, stacked metrics).
+    (state, batches) -> (state, stacked metrics).  Batch buffers are donated so a
+    streamed caller (train/loop.py chunked device loop) keeps at most two chunks
+    resident in HBM.
     """
     step = make_train_step(config, model, tx, jit=False)
 
@@ -275,13 +293,15 @@ def make_epoch_scan(config: Config, model, tx: optax.GradientTransformation,
 
         return jax.lax.scan(body, state, batches, length=num_steps)
 
-    return jax.jit(epoch, donate_argnums=(0,))
+    return jax.jit(epoch, donate_argnums=(0, 1))
 
 
 def make_eval_step(config: Config, model) -> Callable[..., Dict[str, jnp.ndarray]]:
     """Returns a jitted fn (variables, batch) -> per-sample eval quantities."""
 
     def eval_step(variables, batch):
+        sample_mask = batch.get("sample_mask")
+        batch = {k: v for k, v in batch.items() if k != "sample_mask"}
         out, _ = _forward(config, model, variables, batch, None, train=False)
         logits = out["logits"]
         result: Dict[str, jnp.ndarray] = {}
@@ -294,7 +314,8 @@ def make_eval_step(config: Config, model) -> Callable[..., Dict[str, jnp.ndarray
             result["risk"] = -jnp.sum(s, axis=1)
         else:
             result["probs"] = jax.nn.softmax(logits, axis=1)
-        loss, _ = compute_mode_loss(config, out, batch["labels"], train=False)
+        loss, _ = compute_mode_loss(config, out, batch["labels"], train=False,
+                                    sample_mask=sample_mask)
         result["loss"] = loss
         return result
 

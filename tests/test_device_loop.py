@@ -62,3 +62,24 @@ def test_device_loop_full_train(tmp_path):
                     checkpoints=str(tmp_path / "ck"), debug=True)
     state, best = train(config)
     assert best
+
+
+def test_chunked_device_loop_matches_host_loop(tmp_path):
+    """Streamed device loop (chunk < steps_per_epoch, WITH a remainder chunk) must
+    produce the same training trajectory as host-side per-step dispatch."""
+    from sml_tpu.train.loop import train
+
+    kw = dict(dataset="synthetic", synthetic_size=40, fixdim=64, batch_size=8,
+              epochs=2, mode="omic", gradient_modulate=False, return_vgrid=False,
+              debug=True)
+    # 40 samples / bs 8 = 5 steps/epoch; chunk 2 -> dispatches of 2+2+1
+    cfg_stream = Config(device_loop=True, device_loop_chunk=2,
+                        checkpoints=str(tmp_path / "stream"), **kw)
+    cfg_host = Config(device_loop=False, checkpoints=str(tmp_path / "host"), **kw)
+    state_s, best_s = train(cfg_stream)
+    state_h, best_h = train(cfg_host)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state_s.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(state_h.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    assert abs(best_s.get("cindex", best_s.get("auc", 0))
+               - best_h.get("cindex", best_h.get("auc", 0))) < 1e-6

@@ -45,6 +45,45 @@ def test_evaluate_padding_exactness_survival():
     assert abs(result["cindex"] - expected) < 1e-12
 
 
+def test_evaluate_loss_masks_padded_rows():
+    """The final padded batch's loss must equal the loss over ONLY its real rows —
+    i.e. a 4-real+4-pad batch scores identically to the same 4 rows wrap-padded with
+    DIFFERENT pad content (pads contribute nothing)."""
+    config = Config(dataset="synthetic", synthetic_size=80, fixdim=64, batch_size=8,
+                    mode="omic", task_type="survival", gradient_modulate=False,
+                    return_vgrid=False)
+    ds = SyntheticDataset("Test", config)  # 20 samples -> final batch 4 real + 4 pad
+    model = define_net(config)
+    batches = list(Loader(ds, 8))
+    init_batch = {k: v for k, v in batches[0].items() if k != "sample_mask"}
+    variables = init_model(config, model, jax.random.PRNGKey(0), init_batch)
+    eval_step = make_eval_step(config, model)
+
+    last = batches[-1]
+    assert last["sample_mask"].sum() == 4
+    out_a = eval_step(variables, last)
+
+    # same 4 real rows, pads replaced by the FIRST row instead of wrap order
+    mangled = dict(last)
+    for k, v in last.items():
+        if k == "sample_mask":
+            continue
+        arr = np.array(v)
+        arr[4:] = arr[0]
+        mangled[k] = arr
+    out_b = eval_step(variables, mangled)
+    assert abs(float(out_a["loss"]) - float(out_b["loss"])) < 1e-6
+
+    # and it equals the batch-of-4 loss computed with no padding at all
+    config4 = Config(dataset="synthetic", synthetic_size=80, fixdim=64, batch_size=4,
+                     mode="omic", task_type="survival", gradient_modulate=False,
+                     return_vgrid=False)
+    eval_step4 = make_eval_step(config4, model)
+    unpadded = {k: np.array(v)[:4] for k, v in last.items() if k != "sample_mask"}
+    out_c = eval_step4(variables, unpadded)
+    assert abs(float(out_a["loss"]) - float(out_c["loss"])) < 1e-6
+
+
 def test_evaluate_classification_metrics_are_floats():
     config = Config(dataset="synthetic", synthetic_size=40, fixdim=64, batch_size=8,
                     mode="omic", task_type="diag2021", gradient_modulate=False,

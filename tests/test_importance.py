@@ -48,3 +48,55 @@ def test_ablation_importance_detects_signal_gene():
     diffs = ablation_importance(predict, batches, labels)
     assert diffs[3] == max(diffs)
     assert diffs[3] > 0.2
+
+
+def test_mcat_group_attribution():
+    """Per-signature-group IG (reference MCAT_Surv.captum, model.py:669-705):
+    shapes, finiteness, and a zeroed group must get exactly zero attribution."""
+    import jax
+
+    from sml_tpu.config import Config
+    from sml_tpu.models.factory import define_net, init_model
+    from sml_tpu.utils.importance import mcat_group_attribution
+
+    config = Config(mode="mcat", fixdim=16, batch_size=4, task_type="survival",
+                    gradient_modulate=False, return_vgrid=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "x_path": rng.normal(size=(4, 16, 1024)).astype(np.float32),
+        "x_omic": rng.normal(size=(4, 431)).astype(np.float32),
+        "labels": np.zeros((4, 12), np.float32),
+    }
+    batch["x_omic"][:, 100:200] = 0.0  # zero out signature group 2
+    model = define_net(config)
+    variables = init_model(config, model, jax.random.PRNGKey(0), batch)
+
+    per_gene, per_group = mcat_group_attribution(model, variables, [batch], steps=4)
+    assert per_gene.shape == (431,)
+    assert per_group.shape == (4,)
+    assert np.isfinite(per_gene).all()
+    assert per_group[1] == 0.0            # ig = omic * integrated-grad; omic == 0
+    assert per_group[[0, 2, 3]].min() > 0
+
+
+def test_gradient_shap_linear_closed_form():
+    """Expected gradients == exact SHAP for a linear model: w * (x - mean(bg))
+    (reference shap.DeepExplainer path, utils/feature_importance.py:37-72)."""
+    import jax.numpy as jnp
+
+    from sml_tpu.utils.importance import gradient_shap
+
+    rng = np.random.default_rng(5)
+    w = rng.normal(size=(7,)).astype(np.float32)
+    x = rng.normal(size=(6, 7)).astype(np.float32)
+    background = rng.normal(size=(64, 7)).astype(np.float32)
+
+    def loss_fn(omic, batch):
+        return jnp.sum(omic @ jnp.asarray(w))
+
+    attr = gradient_shap(loss_fn, {"x_omic": x}, background, n_samples=2000, seed=1)
+    expected = (x - background.mean(axis=0)) * w
+    np.testing.assert_allclose(attr, expected, rtol=0.15, atol=0.05)
+    # completeness on the linear model: sum of attributions == f(x) - E f(bg)
+    np.testing.assert_allclose(attr.sum(), (x @ w).sum() - len(x) * background.mean(0) @ w,
+                               rtol=0.1)

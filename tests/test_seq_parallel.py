@@ -58,3 +58,27 @@ def test_seq_parallel_grads_flow():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
+
+
+def test_seq_parallel_train_step_matches_data_parallel():
+    """E2E: a full jitted train step on a (data=2, seq=4) mesh must match the
+    plain 8-way data-parallel result (same init, same batch) — the `seq_devices`
+    config knob routes TransMIL's TransLayers through the sharded Nystrom.
+
+    Runs in a subprocess (tests/helpers/seq_e2e_main.py): XLA's CPU in-process
+    collectives SIGABRT on a hardcoded 40 s rendezvous timeout when device threads
+    are starved on a loaded host — isolation keeps that flake from killing the
+    whole pytest session."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), "helpers", "seq_e2e_main.py")
+    proc = subprocess.run([sys.executable, script], capture_output=True,
+                          text=True, timeout=1800)
+    assert proc.returncode == 0, f"subprocess failed:\n{proc.stderr[-3000:]}"
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert abs(result["loss1_dp"] - result["loss1_sp"]) < 1e-4, result
+    assert abs(result["loss2_dp"] - result["loss2_sp"]) < 1e-4, result
+    assert result["max_abs_param_diff"] < 1e-5, result
