@@ -50,8 +50,13 @@ def _stub_modules():
     mk("skimage.io")
     mk("skimage.transform")
 
-    # the pip nystrom_attention package: reuse the reference's own vendored copy
-    sys.path.insert(0, REFERENCE)
+    # the pip nystrom_attention package: reuse the reference's own vendored copy.
+    # APPEND (not prepend) the reference dir: its top-level main.py/inference.py
+    # collide with the repo's, and pytest imports test modules at collection time —
+    # a prepended path would make a later `import main` resolve to the reference
+    # (its models/utils/data packages don't collide with the repo's sml_tpu layout)
+    if REFERENCE not in sys.path:
+        sys.path.append(REFERENCE)
     import importlib
 
     na = importlib.import_module("models.NystromAttention")
