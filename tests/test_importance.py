@@ -100,3 +100,28 @@ def test_gradient_shap_linear_closed_form():
     # completeness on the linear model: sum of attributions == f(x) - E f(bg)
     np.testing.assert_allclose(attr.sum(), (x @ w).sum() - len(x) * background.mean(0) @ w,
                                rtol=0.1)
+
+
+def test_attribution_cli_modes(tmp_path):
+    """inference --attribution {ablation, permutation, gradient_shap} end-to-end on
+    a tiny omic checkpoint (reference L7 surface: utils/metrics.py:199-232,
+    utils/permutation_importance.py, utils/feature_importance.py)."""
+    import os
+
+    import main as main_mod
+    import inference as inf_mod
+
+    ck = str(tmp_path / "ck")
+    base = ["--dataset", "synthetic", "--synthetic_size", "24", "--fixdim", "16",
+            "--batch_size", "8", "--epochs", "1", "--mode", "omic",
+            "--task_type", "diag2021", "--gradient_modulate", "false",
+            "--return_vgrid", "false", "--checkpoints", ck, "--debug"]
+    assert main_mod.main(base) == 0
+    fp = os.path.join(ck, "best_modal")
+
+    assert inf_mod.main(base + ["--model_fp", fp,
+                                "--attribution", "gradient_shap"]) == 0
+    assert sum(1 for _ in open(os.path.join(ck, "gene_importance.csv"))) == 432
+
+    assert inf_mod.main(base + ["--model_fp", fp, "--attribution", "ablation"]) == 0
+    assert sum(1 for _ in open(os.path.join(ck, "difference_acc_list.csv"))) == 432
