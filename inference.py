@@ -104,6 +104,7 @@ def main(argv=None) -> int:
 
 
 def _write_gene_csv(out_dir, name, values):
+    os.makedirs(out_dir, exist_ok=True)  # --debug skips MetricLogger's makedirs
     path = os.path.join(out_dir, name)
     with open(path, "w") as f:
         f.write("gene_index,importance\n")

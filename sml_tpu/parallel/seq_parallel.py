@@ -170,7 +170,12 @@ def run_seq_parallel_nystrom(mesh: Mesh, params: dict, x: jnp.ndarray,
         mask = jnp.ones(x.shape[:2], bool)
 
     n_dev = mesh.shape[axis]
-    batch_axis = kwargs.pop("batch_axis", "data")
+    # co-shard the batch over the mesh's OTHER axis (whatever the user named it —
+    # config.data_axis need not be the literal 'data'); 1-D seq-only meshes have
+    # none and replicate the batch
+    batch_axis = kwargs.pop("batch_axis", None)
+    if batch_axis is None:
+        batch_axis = next((a for a in mesh.axis_names if a != axis), None)
     b_ax = batch_axis if batch_axis in mesh.shape else None
 
     def body(p, x_l, mask_l):

@@ -105,6 +105,7 @@ def train(config: Config, logger: Optional[MetricLogger] = None
         plateau = ReduceLROnPlateau(config.lr)
 
     scan_chunk = scan_rem = None
+    chunk = 0
     if config.device_loop:
         from sml_tpu.models.factory import define_optimizer
         from sml_tpu.train.steps import make_epoch_scan
@@ -126,8 +127,6 @@ def train(config: Config, logger: Optional[MetricLogger] = None
         train_loader.set_epoch(epoch)
         if scan_chunk is not None:
             from sml_tpu.parallel.mesh import shard_stacked_batches
-
-            chunk = config.device_loop_chunk or max(len(train_loader), 1)
 
             def dispatch(buf, state):
                 stacked = {k: np.stack([b[k] for b in buf]) for k in buf[0]}
@@ -151,7 +150,6 @@ def train(config: Config, logger: Optional[MetricLogger] = None
             metrics_stack = {
                 k: np.concatenate([np.asarray(m[k]) for m in metric_chunks])
                 for k in metric_chunks[0]}
-            metrics = {k: v[-1] for k, v in metrics_stack.items()}
             logger.log({"training": {k: float(np.mean(v))
                                      for k, v in metrics_stack.items()}})
         else:

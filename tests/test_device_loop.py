@@ -83,3 +83,16 @@ def test_chunked_device_loop_matches_host_loop(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
     assert abs(best_s.get("cindex", best_s.get("auc", 0))
                - best_h.get("cindex", best_h.get("auc", 0))) < 1e-6
+
+
+def test_device_loop_chunk_larger_than_epoch(tmp_path):
+    """chunk > steps_per_epoch must clamp to one whole-epoch dispatch, not crash
+    (the unclamped epoch-loop recompute picked a never-built remainder scan)."""
+    from sml_tpu.train.loop import train
+
+    config = Config(dataset="synthetic", synthetic_size=40, fixdim=64, batch_size=8,
+                    epochs=1, mode="omic", gradient_modulate=False,
+                    return_vgrid=False, device_loop=True, device_loop_chunk=8,
+                    checkpoints=str(tmp_path / "ck"), debug=True)  # 5 steps/epoch
+    state, best = train(config)
+    assert best

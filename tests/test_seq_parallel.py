@@ -82,3 +82,29 @@ def test_seq_parallel_train_step_matches_data_parallel():
     assert abs(result["loss1_dp"] - result["loss1_sp"]) < 1e-4, result
     assert abs(result["loss2_dp"] - result["loss2_sp"]) < 1e-4, result
     assert result["max_abs_param_diff"] < 1e-5, result
+
+
+def test_seq_parallel_renamed_batch_axis():
+    """On a 2-D mesh whose batch axis is NOT named 'data', the wrapper must
+    co-shard the batch over that axis (regression: literal-'data' default made it
+    silently replicate — numerically identical but redundantly computed, so the
+    assertion is on the OUTPUT SHARDING; values get a noise-level tolerance since
+    sharding the batch changes XLA's reduction tiling by ~5e-5)."""
+    rng = np.random.default_rng(7)
+    b, n, dim, heads, dh, m = 4, 256, 32, 4, 8, 32
+    x = jnp.asarray(rng.normal(size=(b, n, dim)).astype(np.float32))
+
+    mod = NystromAttention(dim=dim, dim_head=dh, heads=heads, num_landmarks=m,
+                           residual=True, dropout=0.0)
+    variables = mod.init(jax.random.PRNGKey(0), x, deterministic=True)
+    ref = mod.apply(variables, x, deterministic=True)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("batch", "seq"))
+    out = run_seq_parallel_nystrom(mesh, variables["params"], x, None,
+                                   dim=dim, dim_head=dh, heads=heads,
+                                   num_landmarks=m)
+    from jax.sharding import PartitionSpec as P
+
+    assert out.sharding.spec == P("batch", "seq", None), out.sharding
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
+                               atol=2e-4)
