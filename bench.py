@@ -54,7 +54,8 @@ def _step_flops(train_step, state, dev_batch) -> float:
 def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
             warmup: int = 3, compute_dtype: str = "bfloat16",
             task_type: str = "diag2021", mode: str = "deformpathomic",
-            use_pallas: bool = True, device_loop: bool = False) -> dict:
+            use_pallas: bool = True, device_loop: bool = False,
+            eval_only: bool = False) -> dict:
     import jax
 
     from __graft_entry__ import _example_batch
@@ -62,7 +63,7 @@ def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
     from sml_tpu.models.factory import define_net, define_optimizer, init_model
     from sml_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
     from sml_tpu.train.state import TrainState
-    from sml_tpu.train.steps import make_train_step
+    from sml_tpu.train.steps import make_eval_step, make_train_step
 
     config = Config(mode=mode, fixdim=fixdim, batch_size=batch_size,
                     task_type=task_type, compute_dtype=compute_dtype,
@@ -87,6 +88,46 @@ def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
         # block_until_ready does not actually await completion through the axon
         # tunnel; a host fetch of a value data-dependent on the whole chain does.
         return float(np.asarray(m["loss"]))
+
+    if eval_only:
+        # serving path: jitted batched eval forward on a device-resident batch
+        eval_step = make_eval_step(config, model)
+        variables = jax.device_get(state.model_variables())
+        variables = replicate_tree(mesh, variables)
+        t_compile0 = time.perf_counter()
+        m = eval_step(variables, dev_batch)
+        sync(m)
+        compile_sec = time.perf_counter() - t_compile0
+
+        def run(n):
+            m = None
+            t0 = time.perf_counter()
+            for _ in range(n):
+                m = eval_step(variables, dev_batch)
+            sync(m)
+            return time.perf_counter() - t0
+
+        small = max(steps // 5, 1)
+        t_small = run(small)
+        t_big = run(steps + small)
+        dt = t_big - t_small
+        steps_per_sec = steps / dt
+        flops = _step_flops(eval_step, variables, dev_batch)
+        peak = _peak_flops(jax.devices()[0])
+        return {
+            "step_flops": flops, "peak_flops": peak,
+            "mfu": (flops * steps_per_sec / peak) if (peak and flops) else 0.0,
+            "platform": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]), "n_chips": n_chips,
+            "mode": mode, "task": task_type, "compute_dtype": compute_dtype,
+            "batch_size": batch_size, "fixdim": fixdim,
+            "steps_per_sec": steps_per_sec,
+            "bags_per_sec": steps_per_sec * batch_size,
+            "bags_per_sec_per_chip": steps_per_sec * batch_size / n_chips,
+            "step_ms": 1000.0 * dt / steps,
+            "warmup_plus_compile_sec": compile_sec,
+            "loss": float(m["loss"]),
+        }
 
     if device_loop:
         # one dispatch runs k steps via lax.scan over the same device-resident batch:
@@ -180,6 +221,9 @@ def main():
     ap.add_argument("--mode", type=str, default="deformpathomic")
     ap.add_argument("--task", type=str, default="diag2021")
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--eval", dest="eval_only", action="store_true",
+                    help="measure the serving path (jitted batched eval forward) "
+                         "instead of the train step")
     ap.add_argument("--device_loop", action="store_true", default=True,
                     help="scan steps in one dispatch (production trainer mode; "
                          "the integrated device-loop trainer runs epochs this way)")
@@ -191,11 +235,17 @@ def main():
     result = measure(batch_size=args.batch_size, fixdim=args.fixdim,
                      steps=args.steps, warmup=args.warmup,
                      compute_dtype=args.dtype, task_type=args.task, mode=args.mode,
-                     use_pallas=not args.no_pallas, device_loop=args.device_loop)
+                     use_pallas=not args.no_pallas, device_loop=args.device_loop,
+                     eval_only=args.eval_only)
 
     vs_baseline = 0.0
     baseline_kind = "none"
-    for name in (f"baseline_reference_{args.fixdim}.json", "baseline_reference.json"):
+    if args.eval_only:
+        # the measured reference baseline is a TRAIN step; no eval baseline exists
+        baseline_kind = "none (reference baseline is a train step)"
+    for name in (() if args.eval_only else
+                 (f"baseline_reference_{args.fixdim}.json",
+                  "baseline_reference.json")):
         baseline_path = os.path.join(REPO, "benchmarks", name)
         if not os.path.exists(baseline_path):
             continue
@@ -221,7 +271,8 @@ def main():
                          " (reference hard-codes N=2500)")
         break
 
-    line = {"metric": f"{args.mode}_train_bags_per_sec_per_chip",
+    kind = "eval" if args.eval_only else "train"
+    line = {"metric": f"{args.mode}_{kind}_bags_per_sec_per_chip",
             "value": round(result["bags_per_sec_per_chip"], 3),
             "unit": "bags/s/chip",
             "vs_baseline": round(vs_baseline, 3),

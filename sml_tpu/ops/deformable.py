@@ -169,12 +169,19 @@ class CPB2D(nn.Module):
 
         if self.impl == "pallas":
             assert o == 1, "pallas CPB assumes one bias head per offset group"
-            from sml_tpu.ops.pallas.deform_attn import cpb_bias_trainable
+            from sml_tpu.ops.pallas.deform_attn import (cpb_bias_trainable,
+                                                        pallas_cpb_supported)
 
             u, v, w1c, b1c, w2c, b2c = self.factors(x_coords, y_coords, grid_kv)
-            flat = cpb_bias_trainable(u, v, w1c, b1c, w2c, b2c,
-                                      self.pallas_interpret)   # (BG, H, W*J)
-            bias = flat.reshape(bg, h * w, j, 1)
+            if pallas_cpb_supported(u.shape[1], w, h, j,
+                                    jnp.dtype(u.dtype).itemsize):
+                flat = cpb_bias_trainable(u, v, w1c, b1c, w2c, b2c,
+                                          self.pallas_interpret)   # (BG, H, W*J)
+                bias = flat.reshape(bg, h * w, j, 1)
+            else:
+                # shape exceeds the kernel's VMEM tiling (e.g. 16k-patch bags):
+                # fall back to the XLA formulation rather than failing to lower
+                bias = self._naive(x_coords, y_coords, grid_kv, ws, bs, cdt, o)
         elif self.impl == "naive":
             bias = self._naive(x_coords, y_coords, grid_kv, ws, bs, cdt, o)
         else:

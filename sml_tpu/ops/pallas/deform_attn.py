@@ -61,12 +61,53 @@ def _pick_wsplit(w: int, j: int, dm: int, fixed_bytes: int, n_temps: int) -> int
 
 
 def _pick_rowblocks(h: int, wj: int) -> int:
+    """Largest row block under the byte cap that also satisfies Mosaic's block
+    rule (second-to-last block dim % 8 == 0, or equal to the array dim)."""
+    def aligned(h_rb):
+        return h_rb == h or h_rb % 8 == 0
+
     for nb in range(1, h + 1):
         if h % nb:
             continue
-        if (h // nb) * wj * 4 <= _MAX_ROWBLOCK_BYTES:
+        h_rb = h // nb
+        if aligned(h_rb) and h_rb * wj * 4 <= _MAX_ROWBLOCK_BYTES:
             return nb
-    return h
+    # nothing aligned fits the cap: smallest aligned block (support check rejects
+    # the shape upstream if even this blows VMEM)
+    for nb in range(h, 0, -1):
+        if h % nb == 0 and aligned(h // nb):
+            return nb
+    return 1
+
+
+_HARD_VMEM = 15 * 1024 * 1024     # the chip's ~16MB scoped VMEM, minus slack
+
+
+def pallas_cpb_supported(dm: int, w: int, h: int, j: int,
+                         itemsize: int = 2) -> bool:
+    """Whether the fused kernels can tile (dm, W*J) x H at all.
+
+    This is a HARD-capacity check (the `_VMEM_BUDGET` used by the chunk pickers
+    is a soft heuristic the pickers may exceed via their fallbacks, and shapes
+    like the 4k bag run fine slightly over it): with the smallest possible lane
+    chunk (cwj = J), the u row table (double-buffered), the bias/cotangent row
+    block and the v/dv blocks must all fit together, and an aligned row block
+    must exist.  Callers fall back to the XLA formulation otherwise — e.g.
+    16k-patch bags (W=128, J=1024): u alone is 2 x 8.4 MB bf16."""
+    wj = w * j
+    n_rb = _pick_rowblocks(h, wj)
+    h_rb = h // n_rb
+    if not (h_rb == h or h_rb % 8 == 0):
+        return False
+    cwj = j                                           # wsplit = w (minimal chunk)
+    u2 = 2 * dm * wj * itemsize
+    bias2 = 2 * h_rb * wj * 4
+    v2 = 2 * h_rb * dm * j * itemsize
+    fwd_min = u2 + bias2 + v2 + 4 * dm * cwj * 4
+    bwd_min = (u2 + dm * wj * itemsize                # + du accumulator block
+               + bias2 + v2 + 2 * h_rb * dm * j * 4   # + dv block
+               + 6 * dm * cwj * 4)
+    return max(fwd_min, bwd_min) <= _HARD_VMEM
 
 
 def _fwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,

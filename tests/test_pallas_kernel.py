@@ -99,3 +99,41 @@ def test_cpb_factors_consistent_with_call():
     rebuilt = rebuilt.reshape(b, g, hgt * wid, j).reshape(b, g, hgt * wid, j)
     np.testing.assert_allclose(bias, rebuilt.reshape(b, g, -1, j), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_pallas_cpb_support_predicate():
+    """Shape gate: the headline shapes tile; 16k-patch bags (u table > VMEM) and
+    unaligned-row-block shapes do not."""
+    from sml_tpu.ops.pallas.deform_attn import pallas_cpb_supported
+
+    assert pallas_cpb_supported(32, 50, 50, 144)     # fixdim 2500
+    assert pallas_cpb_supported(32, 64, 64, 256)     # fixdim 4096
+    assert not pallas_cpb_supported(32, 128, 128, 1024)   # fixdim 16384
+    assert not pallas_cpb_supported(32, 96, 96, 576)      # fixdim 9216
+
+
+def test_cpb2d_pallas_falls_back_on_unsupported_shape(monkeypatch):
+    """impl='pallas' on a shape the kernel can't tile must route to the XLA
+    formulation (same bias values) instead of failing to lower."""
+    from sml_tpu.ops.pallas import deform_attn
+
+    rng = np.random.default_rng(3)
+    b, g, hgt, wid, j, dm = 1, 2, 5, 5, 6, 16
+    x_coords = jnp.asarray(np.linspace(-1, 1, wid).astype(np.float32))
+    y_coords = jnp.asarray(np.linspace(-1, 1, hgt).astype(np.float32))
+    grid_kv = jnp.asarray(rng.uniform(-1, 1, size=(b * g, j, 2)).astype(np.float32))
+
+    naive = CPB2D(dim=dm, heads=g, offset_groups=g, impl="naive")
+    params = naive.init(jax.random.PRNGKey(0), x_coords, y_coords, grid_kv, b)
+    expect = np.asarray(naive.apply(params, x_coords, y_coords, grid_kv, b))
+
+    # force "unsupported" for this tiny shape; the kernel must NOT be invoked
+    monkeypatch.setattr(deform_attn, "_HARD_VMEM", 1)
+
+    def boom(*a, **k):
+        raise AssertionError("pallas kernel called despite unsupported shape")
+
+    monkeypatch.setattr(deform_attn, "cpb_bias_trainable", boom)
+    pallas_mod = CPB2D(dim=dm, heads=g, offset_groups=g, impl="pallas")
+    got = np.asarray(pallas_mod.apply(params, x_coords, y_coords, grid_kv, b))
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
