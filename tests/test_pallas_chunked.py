@@ -12,7 +12,9 @@ import sml_tpu.ops.pallas.deform_attn as da
 
 @pytest.fixture()
 def tiny_limits(monkeypatch):
-    # thresholds chosen so h=6/w=8 shapes pick n_rb>1 and wsplit>1
+    # thresholds chosen so h=16/w=8 shapes pick n_rb>1 and wsplit>1
+    # (h must be a multiple of 8: row blocks now honor Mosaic's sublane rule —
+    # block height % 8 == 0 or == h — so forced blocking needs an 8-row block)
     monkeypatch.setattr(da, "_MAX_ROWBLOCK_BYTES", 8 * 4 * 6 * 4 // 2)
     monkeypatch.setattr(da, "_MAX_CHUNK_LANES", 16)
     yield
@@ -20,7 +22,7 @@ def tiny_limits(monkeypatch):
 
 def _data():
     rng = np.random.default_rng(0)
-    bg, dm, hgt, wid, j = 3, 16, 6, 8, 4
+    bg, dm, hgt, wid, j = 3, 16, 16, 8, 4
     u4 = rng.normal(size=(bg, wid, dm, j)).astype(np.float32)
     u = np.ascontiguousarray(u4.transpose(0, 2, 1, 3)).reshape(bg, dm, wid * j)
     v = rng.normal(size=(bg, hgt, dm, j)).astype(np.float32)
@@ -33,7 +35,7 @@ def _data():
 
 def test_forced_chunking_matches_unchunked(tiny_limits):
     args = _data()
-    assert da._pick_rowblocks(6, 32) > 1
+    assert da._pick_rowblocks(16, 32) > 1
     assert da._pick_wsplit(8, 4, 16, 0, 4) > 1
     chunked = np.asarray(da.fused_cpb_bias(*args, interpret=True))
 
@@ -55,7 +57,7 @@ def test_forced_chunking_matches_unchunked(tiny_limits):
 
 def test_forced_chunking_grads_match(tiny_limits):
     args = _data()
-    cot = jnp.asarray(np.random.default_rng(1).normal(size=(3, 6, 32))
+    cot = jnp.asarray(np.random.default_rng(1).normal(size=(3, 16, 32))
                       .astype(np.float32))
 
     def loss(*a):
