@@ -92,44 +92,33 @@ def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
     if eval_only:
         # serving path: jitted batched eval forward on a device-resident batch
         eval_step = make_eval_step(config, model)
-        variables = jax.device_get(state.model_variables())
-        variables = replicate_tree(mesh, variables)
+        variables = state.model_variables()   # already replicated on the mesh
         t_compile0 = time.perf_counter()
         m = eval_step(variables, dev_batch)
         sync(m)
         compile_sec = time.perf_counter() - t_compile0
 
         def run(n):
-            m = None
+            # independent dispatches would let the last program's fetch resolve
+            # without proving the others drained; chain them by making each
+            # iteration's input data-dependent on the previous output
+            b = dev_batch
             t0 = time.perf_counter()
             for _ in range(n):
-                m = eval_step(variables, dev_batch)
+                m = eval_step(variables, b)
+                b = dict(b, labels=b["labels"] + 0.0 * m["loss"])
             sync(m)
             return time.perf_counter() - t0
 
+        run(2)   # warm the chain's eager add-op (compiles once) before timing
         small = max(steps // 5, 1)
         t_small = run(small)
         t_big = run(steps + small)
         dt = t_big - t_small
         steps_per_sec = steps / dt
         flops = _step_flops(eval_step, variables, dev_batch)
-        peak = _peak_flops(jax.devices()[0])
-        return {
-            "step_flops": flops, "peak_flops": peak,
-            "mfu": (flops * steps_per_sec / peak) if (peak and flops) else 0.0,
-            "platform": jax.devices()[0].platform,
-            "device": str(jax.devices()[0]), "n_chips": n_chips,
-            "mode": mode, "task": task_type, "compute_dtype": compute_dtype,
-            "batch_size": batch_size, "fixdim": fixdim,
-            "steps_per_sec": steps_per_sec,
-            "bags_per_sec": steps_per_sec * batch_size,
-            "bags_per_sec_per_chip": steps_per_sec * batch_size / n_chips,
-            "step_ms": 1000.0 * dt / steps,
-            "warmup_plus_compile_sec": compile_sec,
-            "loss": float(m["loss"]),
-        }
-
-    if device_loop:
+        metrics = m
+    elif device_loop:
         # one dispatch runs k steps via lax.scan over the same device-resident batch:
         # measures the pure-compute step rate without per-dispatch tunnel overhead
         raw_step = make_train_step(config, model, tx, jit=False)
@@ -183,11 +172,14 @@ def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
         dt = t_big - t_small
         steps_per_sec = steps / dt
 
-    flops = _step_flops(train_step, state, dev_batch) if not device_loop else 0.0
-    if device_loop:
+    if eval_only:
+        pass                                   # flops computed in the eval branch
+    elif device_loop:
         # cost-analyze a single-step jit (the scan body is the same program)
         single = make_train_step(config, model, tx)
         flops = _step_flops(single, state, dev_batch)
+    else:
+        flops = _step_flops(train_step, state, dev_batch)
     peak = _peak_flops(jax.devices()[0])
     mfu = (flops * steps_per_sec / peak) if (peak and flops) else 0.0
     return {
@@ -251,9 +243,10 @@ def main():
             continue
         with open(baseline_path) as f:
             baseline = json.load(f)
-        if baseline.get("batch_size") != args.batch_size:
+        if (baseline.get("batch_size") != args.batch_size
+                or baseline.get("fixdim") is None):
             continue
-        if baseline.get("fixdim") == args.fixdim:
+        if baseline["fixdim"] == args.fixdim:
             vs_baseline = result["bags_per_sec_per_chip"] / baseline["bags_per_sec"]
             baseline_kind = "measured_same_shape"
             break

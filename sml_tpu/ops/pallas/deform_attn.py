@@ -91,14 +91,13 @@ def pallas_cpb_supported(dm: int, w: int, h: int, j: int,
     is a soft heuristic the pickers may exceed via their fallbacks, and shapes
     like the 4k bag run fine slightly over it): with the smallest possible lane
     chunk (cwj = J), the u row table (double-buffered), the bias/cotangent row
-    block and the v/dv blocks must all fit together, and an aligned row block
-    must exist.  Callers fall back to the XLA formulation otherwise — e.g.
-    16k-patch bags (W=128, J=1024): u alone is 2 x 8.4 MB bf16."""
+    block and the v/dv blocks must all fit together.  (Row-block alignment is
+    guaranteed by `_pick_rowblocks` — a full-height block is always legal — so
+    only the capacity can reject.)  Callers fall back to the XLA formulation
+    otherwise — e.g. 16k-patch bags (W=128, J=1024): u alone is 2 x 8.4 MB bf16."""
     wj = w * j
     n_rb = _pick_rowblocks(h, wj)
     h_rb = h // n_rb
-    if not (h_rb == h or h_rb % 8 == 0):
-        return False
     cwj = j                                           # wsplit = w (minimal chunk)
     u2 = 2 * dm * wj * itemsize
     bias2 = 2 * h_rb * wj * 4

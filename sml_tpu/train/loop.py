@@ -147,11 +147,12 @@ def train(config: Config, logger: Optional[MetricLogger] = None
                 state, m = dispatch(buf, state)
                 metric_chunks.append(m)
                 cur_iters += len(buf)
-            metrics_stack = {
-                k: np.concatenate([np.asarray(m[k]) for m in metric_chunks])
-                for k in metric_chunks[0]}
-            logger.log({"training": {k: float(np.mean(v))
-                                     for k, v in metrics_stack.items()}})
+            if metric_chunks:
+                metrics_stack = {
+                    k: np.concatenate([np.asarray(m[k]) for m in metric_chunks])
+                    for k in metric_chunks[0]}
+                logger.log({"training": {k: float(np.mean(v))
+                                         for k, v in metrics_stack.items()}})
         else:
             for batch in train_loader:
                 batch.pop("sample_mask", None)

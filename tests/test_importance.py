@@ -125,3 +125,7 @@ def test_attribution_cli_modes(tmp_path):
 
     assert inf_mod.main(base + ["--model_fp", fp, "--attribution", "ablation"]) == 0
     assert sum(1 for _ in open(os.path.join(ck, "difference_acc_list.csv"))) == 432
+
+    assert inf_mod.main(base + ["--model_fp", fp,
+                                "--attribution", "permutation"]) == 0
+    assert sum(1 for _ in open(os.path.join(ck, "gene_importance.csv"))) == 432
