@@ -1,6 +1,7 @@
 """Config-wired loss zoo (survival_loss knob) + ReduceLROnPlateau scheduler."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -79,6 +80,7 @@ def test_plateau_policy_lr_is_mutable_and_training_runs():
     assert np.isfinite(float(m2["loss"]))
 
 
+@pytest.mark.slow
 def test_cmta_orthogonal_loss_selected_by_config():
     base = dict(mode="cmta", fixdim=16, batch_size=4, task_type="survival")
     _, hist_l1 = _train_loss_sequence(Config(**base), steps=3)
@@ -89,6 +91,7 @@ def test_cmta_orthogonal_loss_selected_by_config():
     assert abs(hist_ol[0]["alignment_loss"] - hist_l1[0]["alignment_loss"]) > 1e-6
 
 
+@pytest.mark.slow
 def test_survival_loss_variants_run():
     for name in ("ce_surv", "cox_surv", "nll_surv_kl", "nll_surv_cos",
                  "nll_surv_mse"):

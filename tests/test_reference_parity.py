@@ -210,6 +210,7 @@ def test_cmta_parity():
     allclose(out["S"], s_ref, what="cmta S")
 
 
+@pytest.mark.slow
 def test_deformpathomic_parity():
     """Flagship 2-D deformable model at the reference's hard-coded N=2500
     (``models/DeformableAttention2D.py:239-240``).  Covers grid_sample, offsets,
@@ -294,6 +295,7 @@ def test_ref_buggy_lift_emulation_matches_torch():
     allclose(mine.transpose(0, 2, 1), out_ref, what="buggy 1d lift emulation")
 
 
+@pytest.mark.slow
 def test_deformpathomic_1d_parity(monkeypatch):
     """attn_dim=1 branch (cls token + 1-D deformable cross-attention,
     reference ``models/DeformCrossTransMIL.py:113-131``).  The reference's

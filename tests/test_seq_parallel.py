@@ -41,6 +41,7 @@ def test_seq_parallel_matches_single_device(with_mask):
                                atol=2e-5)
 
 
+@pytest.mark.slow
 def test_seq_parallel_grads_flow():
     rng = np.random.default_rng(1)
     b, n, dim, heads, dh, m = 1, 256, 16, 2, 8, 16
@@ -60,6 +61,7 @@ def test_seq_parallel_grads_flow():
     assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
 
 
+@pytest.mark.slow
 def test_seq_parallel_train_step_matches_data_parallel():
     """E2E: a full jitted train step on a (data=2, seq=4) mesh must match the
     plain 8-way data-parallel result (same init, same batch) — the `seq_devices`
