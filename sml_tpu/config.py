@@ -110,6 +110,10 @@ class Config:
 
     # --- training ---
     reload: bool = False
+    resume: bool = False                  # restore last_state (params+opt+step+PRNG
+                                          # + epoch/best/plateau meta) and continue
+                                          # the interrupted run (reference only ever
+                                          # reloads best weights, main.py:95-103)
     seed: int = 42
     batch_size: int = 8                   # GLOBAL batch size (sharded over the data axis)
     image_size: tuple = (224, 224)

@@ -6,12 +6,16 @@ snapshots with metric-embedding filenames for parity with the reference's
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Any
+from typing import Any, Dict, Optional
 
 import orbax.checkpoint as ocp
 
 from sml_tpu.train.state import TrainState
+
+LAST_STATE = "last_state"
+RESUME_META = "last_state_meta.json"
 
 
 def _ckptr() -> ocp.StandardCheckpointer:
@@ -28,6 +32,28 @@ def save_train_state(path: str, state: TrainState) -> None:
 def restore_train_state(path: str, template: TrainState) -> TrainState:
     ckptr = _ckptr()
     return ckptr.restore(os.path.abspath(path), template)
+
+
+def save_resume_meta(checkpoints_dir: str, meta: Dict[str, Any]) -> None:
+    """Host-side resume metadata (epoch just finished, best-val record, plateau
+    controller state) saved alongside ``last_state`` — the parts of a resumable
+    run that live outside the jax pytree."""
+    tmp = os.path.join(checkpoints_dir, RESUME_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(checkpoints_dir, RESUME_META))
+
+
+def load_resume_meta(checkpoints_dir: str) -> Optional[Dict[str, Any]]:
+    path = os.path.join(checkpoints_dir, RESUME_META)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def has_resume_state(checkpoints_dir: str) -> bool:
+    return os.path.isdir(os.path.join(checkpoints_dir, LAST_STATE))
 
 
 def save_weights(path: str, variables: Any) -> None:

@@ -71,6 +71,12 @@ def setup(config: Config, mesh=None):
         state = state.replace(params=weights["params"],
                               batch_stats=weights.get("batch_stats", {}))
 
+    if config.resume and ckpt.has_resume_state(config.checkpoints):
+        # full train-state resume (params + opt + step + PRNG); epoch/best/plateau
+        # come from the meta JSON in train()
+        last = os.path.join(config.checkpoints, ckpt.LAST_STATE)
+        state = ckpt.restore_train_state(last, jax.device_get(state))
+
     state = replicate_tree(mesh, state)
     train_step = make_train_step(config, model, tx)
     eval_step = make_eval_step(config, model)
@@ -104,6 +110,20 @@ def train(config: Config, logger: Optional[MetricLogger] = None
 
         plateau = ReduceLROnPlateau(config.lr)
 
+    start_epoch = config.start_epoch
+    if config.resume:
+        meta = ckpt.load_resume_meta(config.checkpoints)
+        if meta is not None:
+            start_epoch = int(meta["epoch"]) + 1
+            best = dict(meta.get("best", {}))
+            cur_iters = int(meta.get("iters", 0))
+            if plateau is not None and meta.get("plateau"):
+                plateau.lr = meta["plateau"]["lr"]
+                plateau.best = meta["plateau"]["best"]
+                plateau.num_bad = meta["plateau"]["num_bad"]
+            print(f"resuming from epoch {start_epoch} "
+                  f"(step {int(jax.device_get(state.step))})", flush=True)
+
     scan_chunk = scan_rem = None
     chunk = 0
     if config.device_loop:
@@ -123,7 +143,7 @@ def train(config: Config, logger: Optional[MetricLogger] = None
             scan_rem = make_epoch_scan(config, net, tx,
                                        num_steps=steps_per_epoch % chunk)
 
-    for epoch in range(config.start_epoch, config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         train_loader.set_epoch(epoch)
         if scan_chunk is not None:
             from sml_tpu.parallel.mesh import shard_stacked_batches
@@ -200,7 +220,13 @@ def train(config: Config, logger: Optional[MetricLogger] = None
             ckpt.save_weights(os.path.join(config.checkpoints, "best_modal"),
                               jax.device_get(variables))
 
-        ckpt.save_train_state(os.path.join(config.checkpoints, "last_state"),
+        ckpt.save_train_state(os.path.join(config.checkpoints, ckpt.LAST_STATE),
                               jax.device_get(state))
+        meta = {"epoch": epoch, "iters": cur_iters,
+                "best": {k: float(v) for k, v in best.items()}}
+        if plateau is not None:
+            meta["plateau"] = {"lr": plateau.lr, "best": plateau.best,
+                               "num_bad": plateau.num_bad}
+        ckpt.save_resume_meta(config.checkpoints, meta)
 
     return state, best

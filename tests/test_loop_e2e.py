@@ -78,6 +78,48 @@ def test_reload_best_modal(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_resume_matches_uninterrupted(tmp_path, monkeypatch):
+    """Kill-and-resume parity: a 3-epoch run killed right after the epoch-2 state
+    save, then resumed, matches the uninterrupted 3-epoch run bit-exactly on every
+    parameter (full state incl. optimizer + PRNG + LR schedule position restored)."""
+    kw = dict(epochs=3, synthetic_size=32)
+
+    cfg_a = _cfg(tmp_path / "a", **kw)
+    state_a, _ = train(cfg_a)
+
+    class SimulatedKill(Exception):
+        pass
+
+    orig_save_meta = ckpt.save_resume_meta
+
+    def kill_after_epoch2(ckdir, meta):
+        orig_save_meta(ckdir, meta)
+        if meta["epoch"] == 1:  # 0-indexed: die right after epoch 2's save
+            raise SimulatedKill
+
+    cfg_b = _cfg(tmp_path / "b", **kw)
+    monkeypatch.setattr(ckpt, "save_resume_meta", kill_after_epoch2)
+    with pytest.raises(SimulatedKill):
+        train(cfg_b)
+    monkeypatch.setattr(ckpt, "save_resume_meta", orig_save_meta)
+
+    state_b, _ = train(_cfg(tmp_path / "b", **dict(kw, resume=True)))
+
+    assert int(jax.device_get(state_a.step)) == int(jax.device_get(state_b.step))
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state_a.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(state_b.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state_a.opt_state)),
+                    jax.tree_util.tree_leaves(jax.device_get(state_b.opt_state))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_without_checkpoint_starts_fresh(tmp_path):
+    config = _cfg(tmp_path, epochs=1, synthetic_size=16, resume=True)
+    state, best = train(config)
+    assert best  # ran from scratch without error
+
+
 def test_main_cli_smoke(tmp_path):
     import main as main_mod
 
