@@ -44,6 +44,10 @@ def main(argv=None) -> int:
         raise FileNotFoundError(
             f"checkpoint not found: {model_fp!r} — pass --model_fp")
 
+    from sml_tpu.parallel import distributed
+
+    distributed.initialize(config)  # multi-host bootstrap; no-op single-host
+
     import jax
 
     from sml_tpu.data.loader import Loader, build_datasets

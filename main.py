@@ -24,11 +24,17 @@ def main(argv=None) -> int:
 
     os.makedirs(config.checkpoints, exist_ok=True)
 
+    # multi-host bootstrap BEFORE any backend touch (no-op single-host) —
+    # the reference's mp.spawn + init_process_group (main.py:26-28,148-149)
+    from sml_tpu.parallel import distributed
+
+    distributed.initialize(config)
+
     from sml_tpu.train.loop import train
     from sml_tpu.utils.logging import MetricLogger
 
     logger = MetricLogger(config, out_dir=config.checkpoints,
-                          disabled=config.debug)
+                          disabled=config.debug or not distributed.is_primary())
     try:
         _, best = train(config, logger)
         print(f"\nbest (val): {best}")

@@ -83,6 +83,11 @@ class Config:
                                           # (see scripts/pack_data.py); "" = per-sample readers
 
     # --- distributed ---
+    coordinator_address: str = ""         # multi-host rendezvous "host:port" (the
+                                          # reference's MASTER_ADDR/PORT, main.py:26-28);
+                                          # empty = single-host or TPU-pod auto-detect
+    num_processes: int = 0                # total hosts (reference nodes*gpus); 0 = auto
+    process_id: int = -1                  # this host's rank (reference nr); -1 = auto
     workers: int = 0                      # host-side prefetch threads (0 = sync)
     data_axis: str = "data"               # mesh axis name for data parallelism
     num_devices: int = 0                  # 0 = all visible devices
@@ -148,6 +153,9 @@ class Config:
     modulation_style: str = "reference"   # "reference" (exact quirk) | "orthogonal" (clean projection)
     return_vgrid: bool = True
     batchloss_grad_scale: str = "exact"   # "exact" | "ddp" (reference GatherLayer 1/world semantics)
+    batchloss_layout: str = "group"       # "group" (documented per-group intent) |
+                                          # "reference" (exact utils/loss.py:23
+                                          # view(8,N,-1) row-block arithmetic)
 
     # --- model ---
     mode: str = "deformpathomic"          # path|omic|pathomic|pathomic_original|mcat|cmta|deformpathomic

@@ -55,21 +55,52 @@ def build_datasets(config: Config, phase: str):
     return concat_datasets([IvYGAPDataset(phase, config), TCGADataset(phase, config)])
 
 
+def sharded_index_batches(idx: np.ndarray, local_bs: int, num_shards: int,
+                          shard_id: int, drop_last: bool) -> List[np.ndarray]:
+    """``DistributedSampler`` equivalent (reference ``main.py:51-56``), laid out
+    for SPMD equivalence: form GLOBAL batches of ``local_bs * num_shards`` in
+    permutation order, and give each shard its CONTIGUOUS slice of every global
+    batch.  Because process ``r``'s local devices hold rows ``[r*local_bs,
+    (r+1)*local_bs)`` of the assembled global array, the global batch each jit
+    step sees is bit-identical to the single-host one — stride-sharding instead
+    would permute rows within the batch and re-pair samples with per-row dropout
+    noise.  Short final batches are wrap-padded (torch DistributedSampler
+    semantics) unless ``drop_last``.  All shards must shuffle with the same seed.
+    """
+    global_bs = local_bs * num_shards
+    out = []
+    for start in range(0, len(idx), global_bs):
+        chunk = idx[start:start + global_bs]
+        if len(chunk) < global_bs:
+            if drop_last:
+                continue
+            reps = -(-global_bs // len(chunk))
+            chunk = np.tile(chunk, reps)[:global_bs]
+        out.append(chunk[shard_id * local_bs:(shard_id + 1) * local_bs])
+    return out
+
+
 class Loader:
     """Yields dict batches of stacked numpy arrays.
 
     train mode: shuffled (seeded by epoch), drop_last.
     eval mode: sequential, final batch padded to batch_size with sample_mask=0.
+    multi-host: ``num_shards``/``shard_id`` stride-partition each epoch's (seeded,
+    identical-across-hosts) permutation, and ``batch_size`` is the per-host LOCAL
+    batch size.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 drop_last: bool = False, seed: int = 0, workers: int = 0):
+                 drop_last: bool = False, seed: int = 0, workers: int = 0,
+                 num_shards: int = 1, shard_id: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
         self.workers = workers
+        self.num_shards = max(num_shards, 1)
+        self.shard_id = shard_id
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -77,9 +108,10 @@ class Loader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        global_bs = self.batch_size * self.num_shards  # steps = global batches
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return n // global_bs
+        return (n + global_bs - 1) // global_bs
 
     def _index_batches(self) -> List[np.ndarray]:
         n = len(self.dataset)
@@ -87,8 +119,11 @@ class Loader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed * 100_003 + self.epoch)
             rng.shuffle(idx)
+        if self.num_shards > 1:
+            return sharded_index_batches(idx, self.batch_size, self.num_shards,
+                                         self.shard_id, self.drop_last)
         batches = []
-        for start in range(0, n, self.batch_size):
+        for start in range(0, len(idx), self.batch_size):
             chunk = idx[start:start + self.batch_size]
             if len(chunk) < self.batch_size and self.drop_last:
                 continue

@@ -82,7 +82,8 @@ class PackedLoader:
 
     def __init__(self, path: str, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0, workers: int = 2,
-                 queue_depth: int = 4, use_native: Optional[bool] = None):
+                 queue_depth: int = 4, use_native: Optional[bool] = None,
+                 num_shards: int = 1, shard_id: int = 0):
         self.ds = PackedDataset(path)
         self.path = path
         self.batch_size = batch_size
@@ -91,6 +92,8 @@ class PackedLoader:
         self.seed = seed
         self.workers = workers
         self.queue_depth = queue_depth
+        self.num_shards = max(num_shards, 1)
+        self.shard_id = shard_id
         self.epoch = 0
         if use_native is None:
             from sml_tpu import runtime
@@ -103,9 +106,10 @@ class PackedLoader:
 
     def __len__(self) -> int:
         n = len(self.ds)
+        global_bs = self.batch_size * self.num_shards
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return n // global_bs
+        return (n + global_bs - 1) // global_bs
 
     def _epoch_indices(self):
         n = len(self.ds)
@@ -113,8 +117,19 @@ class PackedLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed * 100_003 + self.epoch)
             rng.shuffle(idx)
+        if self.num_shards > 1:
+            from sml_tpu.data.loader import sharded_index_batches
+
+            # contiguous per-batch shards (see sharded_index_batches); wrap-pad
+            # duplicates on a short final batch count as real samples (mask 1),
+            # matching torch DistributedSampler
+            batches = sharded_index_batches(idx, self.batch_size,
+                                            self.num_shards, self.shard_id,
+                                            self.drop_last)
+            return batches, [np.ones(self.batch_size, np.float32)
+                             for _ in batches]
         batches, masks = [], []
-        for start in range(0, n, self.batch_size):
+        for start in range(0, len(idx), self.batch_size):
             chunk = idx[start:start + self.batch_size]
             if len(chunk) < self.batch_size:
                 if self.drop_last:

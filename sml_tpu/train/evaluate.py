@@ -22,20 +22,21 @@ def evaluate(config: Config, eval_step: Callable, variables, loader,
     tail rows of the final batch contribute nothing — matching the reference's
     running test loss over its smaller remainder batch (train_test.py:504-509).
     """
-    import jax
-
-    from sml_tpu.parallel.mesh import shard_batch
+    from sml_tpu.parallel.mesh import fetch_global, shard_batch
 
     # enqueue every batch first, fetch once at the end: per-batch host fetches cost a
-    # full round-trip each on tunneled TPUs
+    # full round-trip each on tunneled TPUs.  Eval loaders hold the FULL batch on
+    # every host (per_host_full) so host-side metrics see the global arrays; under
+    # multi-host the sharded outputs are allgathered back by fetch_global.
     outs, host_labels, host_masks = [], [], []
     for batch in loader:
         mask = batch["sample_mask"]
-        dev_batch = shard_batch(mesh, batch) if mesh is not None else batch
+        dev_batch = (shard_batch(mesh, batch, per_host_full=True)
+                     if mesh is not None else batch)
         outs.append(eval_step(variables, dev_batch))
         host_labels.append(np.asarray(batch["labels"]))
         host_masks.append(np.asarray(mask))
-    outs = jax.device_get(outs)
+    outs = fetch_global(outs)
 
     risks, probs, labels, losses_ = [], [], [], []
     for out, lab, mask in zip(outs, host_labels, host_masks):

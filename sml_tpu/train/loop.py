@@ -28,30 +28,43 @@ from sml_tpu.utils.logging import MetricLogger
 
 
 def setup(config: Config, mesh=None):
-    """Build (mesh, model, state, train_step, eval_step, loaders)."""
+    """Build (mesh, model, state, train_step, eval_step, loaders).
+
+    Multi-host (after ``parallel.distributed.initialize``): the TRAIN loader is
+    stride-sharded per process (DistributedSampler equivalent, reference
+    ``main.py:51-56``) and yields the LOCAL ``batch_size/process_count`` rows;
+    eval loaders stay global on every host (the reference evaluates the full
+    split on every rank too).
+    """
     mesh = mesh or make_mesh(config)
+    pi, pc = jax.process_index(), jax.process_count()
+    if pc > 1 and config.batch_size % pc:
+        raise ValueError(f"batch_size={config.batch_size} must be divisible by "
+                         f"the {pc} participating hosts")
+    local_bs = config.batch_size // pc
 
     if config.packed_dir:
         # packed binary splits + native C++ prefetch (scripts/pack_data.py)
         from sml_tpu.data.packed import PackedLoader
 
-        def packed(phase, **kw):
+        def packed(phase, batch_size, **kw):
             return PackedLoader(os.path.join(config.packed_dir, f"{phase}.bin"),
-                                config.batch_size, workers=max(config.workers, 2),
+                                batch_size, workers=max(config.workers, 2),
                                 **kw)
 
-        train_loader = packed("Train", shuffle=True, drop_last=True,
-                              seed=config.seed)
-        test_loader = packed("Test")
-        val_loader = None if config.novalset else packed("Val")
+        train_loader = packed("Train", local_bs, shuffle=True, drop_last=True,
+                              seed=config.seed, num_shards=pc, shard_id=pi)
+        test_loader = packed("Test", config.batch_size)
+        val_loader = None if config.novalset else packed("Val", config.batch_size)
     else:
         train_ds = build_datasets(config, "Train")
         test_ds = build_datasets(config, "Test")
         val_ds = None if config.novalset else build_datasets(config, "Val")
 
-        train_loader = Loader(train_ds, config.batch_size, shuffle=True,
+        train_loader = Loader(train_ds, local_bs, shuffle=True,
                               drop_last=True, seed=config.seed,
-                              workers=config.workers)
+                              workers=config.workers,
+                              num_shards=pc, shard_id=pi)
         test_loader = Loader(test_ds, config.batch_size)
         val_loader = None if val_ds is None else Loader(val_ds, config.batch_size)
 
@@ -94,7 +107,10 @@ def _is_better(config: Config, val: Dict[str, float],
 
 def train(config: Config, logger: Optional[MetricLogger] = None
           ) -> Tuple[TrainState, Dict[str, float]]:
-    logger = logger or MetricLogger(config, disabled=config.debug)
+    from sml_tpu.parallel.distributed import is_primary
+
+    primary = is_primary()  # rank-0 logging/writes (reference's `if gpu == 0`)
+    logger = logger or MetricLogger(config, disabled=config.debug or not primary)
     os.makedirs(config.checkpoints, exist_ok=True)
 
     (mesh, model, state, train_step, eval_step,
@@ -202,8 +218,9 @@ def train(config: Config, logger: Optional[MetricLogger] = None
                  if val_loader is not None else test_m)
         logger.log({"epoch": epoch, "test": test_m, "validation": val_m,
                     "elapsed_sec": time.time() - start})
-        print(f"epoch {epoch + 1}/{config.epochs} "
-              f"val={val_m} test={test_m}", flush=True)
+        if primary:
+            print(f"epoch {epoch + 1}/{config.epochs} "
+                  f"val={val_m} test={test_m}", flush=True)
 
         if plateau is not None:  # metric-driven LR (torch ReduceLROnPlateau)
             from sml_tpu.models.factory import set_learning_rate
@@ -211,6 +228,12 @@ def train(config: Config, logger: Optional[MetricLogger] = None
             new_lr = plateau.step(val_m["loss"])
             state = set_learning_rate(state, new_lr)
 
+        # eval metrics are identical on every host (full split, allgathered
+        # outputs), so all hosts take the same branch.  Orbax saves are
+        # COLLECTIVE under multi-process (internal sync_global_processes):
+        # every process must call them; orbax elects who writes (shared-FS
+        # checkpoint dir assumed, as on any pod).  Only the side-car meta JSON
+        # is primary-only plain IO.
         if _is_better(config, val_m, best):
             best = dict(val_m)
             best["epoch"] = epoch
@@ -222,11 +245,12 @@ def train(config: Config, logger: Optional[MetricLogger] = None
 
         ckpt.save_train_state(os.path.join(config.checkpoints, ckpt.LAST_STATE),
                               jax.device_get(state))
-        meta = {"epoch": epoch, "iters": cur_iters,
-                "best": {k: float(v) for k, v in best.items()}}
-        if plateau is not None:
-            meta["plateau"] = {"lr": plateau.lr, "best": plateau.best,
-                               "num_bad": plateau.num_bad}
-        ckpt.save_resume_meta(config.checkpoints, meta)
+        if primary:
+            meta = {"epoch": epoch, "iters": cur_iters,
+                    "best": {k: float(v) for k, v in best.items()}}
+            if plateau is not None:
+                meta["plateau"] = {"lr": plateau.lr, "best": plateau.best,
+                                   "num_bad": plateau.num_bad}
+            ckpt.save_resume_meta(config.checkpoints, meta)
 
     return state, best

@@ -175,19 +175,35 @@ def _cos(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
 
 
 def batch_similarity_loss(omic: jnp.ndarray, vgrid: jnp.ndarray,
-                          sample_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                          sample_mask: Optional[jnp.ndarray] = None,
+                          layout: str = "group") -> jnp.ndarray:
     """Subspace batch-similarity loss (reference ``utils/loss.py:7-40``), summed.
 
     omic: (N, F) global-batch omic vectors (the reference passes the (N, T, F)
     broadcast; its row-normalized similarity is identical).
-    vgrid: (N, g, ...) per-sample offset grids; similarity is computed per offset
-    GROUP over the batch and averaged over groups (the documented intent — the
-    reference's ``vgrid.view(8, N, -1)`` only realizes this when N == g == 8).
+    vgrid: (N, g, ...) per-sample offset grids.
+
+    ``layout='group'`` (default): similarity is computed per offset GROUP over
+    the batch and averaged over groups — the documented intent of the loss.
+    ``layout='reference'``: the reference's arithmetic verbatim — its
+    ``vgrid.view(8, N, -1)`` (``utils/loss.py:23``) reinterprets the batch-major
+    ``(N*g, ...)`` tensor as 8 row-blocks of N consecutive rows, which at
+    N == g == 8 makes each "group" matrix actually one SAMPLE's 8 offset-group
+    rows.  Exposed (as with ``modulation_style='reference'``) so training and
+    the gradient-parity harness can match the reference bit-for-bit.
     """
     n = omic.shape[0]
     omic2 = omic.reshape(n, -1)
     g = vgrid.shape[1]
-    v = jnp.moveaxis(vgrid.reshape(n, g, -1), 1, 0)          # (g, N, F)
+    if layout == "reference":
+        if sample_mask is not None:
+            raise ValueError("batchloss_layout='reference' does not define "
+                             "masked (variable-bag) semantics; use 'group'")
+        v = vgrid.reshape(n * g, -1).reshape(8, n, -1)   # ref view(8, N, -1)
+    elif layout == "group":
+        v = jnp.moveaxis(vgrid.reshape(n, g, -1), 1, 0)  # (g, N, F)
+    else:
+        raise ValueError(f"unknown batchloss layout {layout!r}")
 
     if sample_mask is None:
         sim = omic2 @ omic2.T

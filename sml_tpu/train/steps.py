@@ -104,11 +104,14 @@ def compute_mode_loss(config: Config, out: Dict[str, Any], labels: jnp.ndarray,
                                      sample_mask=sample_mask)
         total = loss3
         if config.return_vgrid:
+            layout = getattr(config, "batchloss_layout", "group")
             bs_t = losses.batch_similarity_loss(out["omic_tumor"], out["vgrid_tumor"],
-                                                sample_mask=sample_mask)
+                                                sample_mask=sample_mask,
+                                                layout=layout)
             bs_i = losses.batch_similarity_loss(out["omic_immune"],
                                                 out["vgrid_immune"],
-                                                sample_mask=sample_mask)
+                                                sample_mask=sample_mask,
+                                                layout=layout)
             batch_sim = 0.5 * bs_t + 0.5 * bs_i
             if config.batchloss_grad_scale == "ddp":
                 # reference GatherLayer semantics: full VALUE, 1/world-scaled GRADIENT
