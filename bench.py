@@ -93,24 +93,30 @@ def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
         # serving path: jitted batched eval forward on a device-resident batch
         eval_step = make_eval_step(config, model)
         variables = state.model_variables()   # already replicated on the mesh
+
+        # chained dispatches: each iteration's input is data-dependent on the
+        # previous output, so the final fetch provably drains the whole chain.
+        # The perturbation is INSIDE the jitted step (a fused no-op add), so no
+        # per-iteration eager host op rides the tunnel and pads the timing.
+        @jax.jit
+        def chained_step(variables, b):
+            m = eval_step(variables, b)
+            return m, dict(b, labels=b["labels"] + 0.0 * m["loss"])
+
         t_compile0 = time.perf_counter()
-        m = eval_step(variables, dev_batch)
+        m, _ = chained_step(variables, dev_batch)
         sync(m)
         compile_sec = time.perf_counter() - t_compile0
 
         def run(n):
-            # independent dispatches would let the last program's fetch resolve
-            # without proving the others drained; chain them by making each
-            # iteration's input data-dependent on the previous output
             b = dev_batch
             t0 = time.perf_counter()
             for _ in range(n):
-                m = eval_step(variables, b)
-                b = dict(b, labels=b["labels"] + 0.0 * m["loss"])
+                m, b = chained_step(variables, b)
             sync(m)
             return time.perf_counter() - t0
 
-        run(2)   # warm the chain's eager add-op (compiles once) before timing
+        run(2)   # warm
         small = max(steps // 5, 1)
         t_small = run(small)
         t_big = run(steps + small)

@@ -27,6 +27,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "scripts"))
+sys.path.insert(0, os.path.join(REPO, "tests"))  # helpers.ref_patch
 
 
 def torch_forward(mode, model, batch, torch):
@@ -149,20 +150,40 @@ def run_jax(config, epochs_batches, test_batches, init_variables):
     return history
 
 
-def ab_mode(mode, fixdim, synthetic_size, batch_size, epochs, torch):
+def ab_mode(mode, fixdim, synthetic_size, batch_size, epochs, torch,
+            patch_ref=False):
     from types import SimpleNamespace
 
+    import models.model as ref_model_mod
     from models.model import define_net as ref_define_net
 
     from sml_tpu.config import Config
     from sml_tpu.data.loader import Loader, build_datasets
     from sml_tpu.utils.torch_compat import convert_reference_state_dict
 
+    # deformpathomic at B == 8 offset groups: use the reference's EXACT
+    # view(8,N,-1) BatchLoss arithmetic on the sml side too, so the losses agree
+    # bit-for-bit (see losses.batch_similarity_loss layout docs)
+    layout = ("reference" if mode == "deformpathomic" and batch_size == 8
+              else "group")
     config = Config(mode=mode, dataset="synthetic", synthetic_size=synthetic_size,
                     fixdim=fixdim, batch_size=batch_size, epochs=epochs,
                     task_type="survival", gradient_modulate=False,
                     return_vgrid=(mode == "deformpathomic"), num_devices=1,
+                    batchloss_layout=layout,
                     dropout_rate=0.1 if mode == "deformpathomic" else 0.25)
+
+    orig_ct = ref_model_mod.DeformCrossTransMIL
+    if patch_ref:
+        # powered flagship A/B: shape-patch the reference's hard-coded 2500/50x50
+        # (DeformCrossTransMIL.py:104, DeformableAttention2D.py:239-240,318) so the
+        # 1-core torch side can run a cohort big enough to be statistically
+        # meaningful (VERDICT r2 item 4)
+        from helpers.ref_patch import load_patched_deform
+
+        grid = int(round(fixdim ** 0.5))
+        ref_model_mod.DeformCrossTransMIL = load_patched_deform(n=fixdim,
+                                                                grid=grid)
 
     # identical batch streams: materialize the seeded order once, reuse for both
     train_loader = Loader(build_datasets(config, "Train"), batch_size,
@@ -186,7 +207,10 @@ def ab_mode(mode, fixdim, synthetic_size, batch_size, epochs, torch):
         input_size_omic=431, input_size_omic_tumor=59, input_size_omic_immune=361,
         input_path_dim=1024, act_type="Sigmoid", batch_size=batch_size,
         world_size=1, fixdim=fixdim)
-    ref_model = ref_define_net(ref_args)
+    try:
+        ref_model = ref_define_net(ref_args)
+    finally:
+        ref_model_mod.DeformCrossTransMIL = orig_ct
     variables = convert_reference_state_dict(mode, ref_model.state_dict())
     variables = {k: v for k, v in variables.items()}
 
@@ -215,8 +239,11 @@ def main():
     ap.add_argument("--modes", nargs="+",
                     default=["omic", "pathomic", "mcat", "cmta", "deformpathomic"])
     ap.add_argument("--epochs", type=int, default=6)
-    ap.add_argument("--deform_epochs", type=int, default=2)
-    ap.add_argument("--deform_cohort", type=int, default=24)
+    ap.add_argument("--deform_epochs", type=int, default=6)
+    ap.add_argument("--deform_cohort", type=int, default=96)
+    ap.add_argument("--deform_fixdim", type=int, default=256,
+                    help="256 = shape-patched reference (powered A/B); "
+                         "2500 = unpatched reference shape (tiny cohorts only)")
     ap.add_argument("--cohort", type=int, default=96)
     args = ap.parse_args()
 
@@ -240,11 +267,14 @@ def main():
             results = json.load(f)
     for mode in args.modes:
         if mode == "deformpathomic":
-            # reference hard-codes N=2500 (DeformableAttention2D.py:239); tiny cohort
-            r = ab_mode(mode, 2500, args.deform_cohort, 4, args.deform_epochs, torch)
+            bs = 8 if args.deform_fixdim != 2500 else 4
+            r = ab_mode(mode, args.deform_fixdim, args.deform_cohort, bs,
+                        args.deform_epochs, torch,
+                        patch_ref=args.deform_fixdim != 2500)
         else:
             r = ab_mode(mode, 64, args.cohort, 8, args.epochs, torch)
-        results = [x for x in results if x["mode"] != mode] + [r]
+        results = [x for x in results
+                   if not (x["mode"] == mode and x["fixdim"] == r["fixdim"])] + [r]
         with open(out, "w") as f:
             json.dump(results, f, indent=2)
 
