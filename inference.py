@@ -84,12 +84,13 @@ def main(argv=None) -> int:
 
         from sml_tpu.utils.importance import mcat_group_attribution
 
+        sizes = getattr(model, "omic_sizes", None)
         per_gene, per_group = mcat_group_attribution(
-            model, variables, list(test_loader))
+            model, variables, list(test_loader), omic_sizes=sizes)
         out_csv = _write_gene_csv(config.checkpoints, "gene_importance.csv",
                                   per_gene)
         print("per-signature-group |IG| attribution of survival risk "
-              f"(groups of {(100, 100, 100, 131)} genes): "
+              f"(groups of {tuple(sizes or (100, 100, 100, 131))} genes): "
               f"{np.array2string(per_group, precision=6)}")
         print(f"per-gene attribution written to {out_csv}")
         logger.log({"attribution": {"groups": [float(v) for v in per_group]}})

@@ -41,8 +41,26 @@ def _dtype(config: Config):
 
 
 def _seq_mesh(config: Config):
-    """The (data, seq) mesh when sequence parallelism is configured, else None."""
+    """The (data, seq) mesh when sequence parallelism is configured, else None.
+
+    Validates seq_devices against the Nystrom landmark counts of the mode's
+    TransLayers UP FRONT — the shard_map body requires ``num_landmarks
+    (= layer_dim // 2) % seq_devices == 0`` and would otherwise only fail via a
+    deep assert (or an opaque shard_map divisibility error) after model build.
+    """
     if getattr(config, "seq_devices", 0) and config.seq_devices > 1:
+        layer_dims = []
+        if config.mode == "cmta":
+            layer_dims = [256]                      # CMTA feature_dim
+        elif (config.mode == "path"
+              and getattr(config, "path_arch", "abmil") == "transmil"):
+            layer_dims = [512]                      # TransMIL TransLayer dim
+        for dim in layer_dims:
+            if (dim // 2) % config.seq_devices:
+                raise ValueError(
+                    f"seq_devices={config.seq_devices} must divide the Nystrom "
+                    f"landmark count {dim // 2} (TransLayer dim {dim} // 2) for "
+                    f"mode={config.mode!r}")
         from sml_tpu.parallel.mesh import make_mesh
 
         return make_mesh(config)

@@ -154,6 +154,13 @@ def train(config: Config, logger: Optional[MetricLogger] = None
         # and device_puts chunk i+1 (both async), so at most 2 chunks are resident
         chunk = config.device_loop_chunk or steps_per_epoch
         chunk = min(chunk, steps_per_epoch)
+        if config.eval_every_iters:
+            # mid-epoch eval sweeps (reference evals every 10 iters,
+            # train_test.py:196): dispatch boundaries must land on the eval
+            # interval, so clamp the chunk to their gcd
+            import math as _math
+
+            chunk = _math.gcd(chunk, config.eval_every_iters)
         scan_chunk = make_epoch_scan(config, net, tx, num_steps=chunk)
         if steps_per_epoch % chunk:
             scan_rem = make_epoch_scan(config, net, tx,
@@ -170,6 +177,17 @@ def train(config: Config, logger: Optional[MetricLogger] = None
                 scan = scan_chunk if len(buf) == chunk else scan_rem
                 return scan(state, dev)
 
+            def maybe_mid_eval(state, cur_iters):
+                if (config.eval_every_iters
+                        and cur_iters % config.eval_every_iters == 0):
+                    variables = state.model_variables()
+                    log = {"test": evaluate(config, eval_step, variables,
+                                            test_loader, mesh)}
+                    if val_loader is not None:
+                        log["validation"] = evaluate(config, eval_step,
+                                                     variables, val_loader, mesh)
+                    logger.log(log)
+
             metric_chunks, buf = [], []
             for b in train_loader:
                 b.pop("sample_mask", None)
@@ -179,10 +197,12 @@ def train(config: Config, logger: Optional[MetricLogger] = None
                     metric_chunks.append(m)
                     cur_iters += len(buf)
                     buf = []
+                    maybe_mid_eval(state, cur_iters)
             if buf:
                 state, m = dispatch(buf, state)
                 metric_chunks.append(m)
                 cur_iters += len(buf)
+                maybe_mid_eval(state, cur_iters)
             if metric_chunks:
                 metrics_stack = {
                     k: np.concatenate([np.asarray(m[k]) for m in metric_chunks])

@@ -109,7 +109,7 @@ def gradient_shap(loss_fn: Callable, batch: Dict[str, np.ndarray],
 
 
 def mcat_group_attribution(model, variables, batches: List[Dict[str, np.ndarray]],
-                           omic_sizes: Sequence[int] = (100, 100, 100, 131),
+                           omic_sizes: Optional[Sequence[int]] = None,
                            steps: int = 16
                            ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-signature-group attribution through the MCAT co-attention stack.
@@ -122,9 +122,16 @@ def mcat_group_attribution(model, variables, batches: List[Dict[str, np.ndarray]
     of ``risk = -sum(S)`` w.r.t. the omic vector, aggregated per signature group.
 
     Returns (per_gene[431], per_group[len(omic_sizes)]) mean |IG| over all samples.
+    ``omic_sizes`` defaults to the model's own signature-group split
+    (``models.mcat.MCATSurv.omic_sizes``) so caller-side reporting cannot drift.
     """
     import jax
     import jax.numpy as jnp
+
+    if omic_sizes is None:
+        from sml_tpu.models.mcat import MCATSurv
+
+        omic_sizes = getattr(model, "omic_sizes", MCATSurv.omic_sizes)
 
     def risk_sum(omic, batch):
         out = model.apply(variables, x_path=batch["x_path"], x_omic=omic,
