@@ -44,6 +44,7 @@ class DeformCrossTransLayer(nn.Module):
     dropout: float = 0.1
     cpb_query_chunk: int = 512
     use_pallas: bool = False
+    seq_mesh: Optional[object] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -62,7 +63,8 @@ class DeformCrossTransLayer(nn.Module):
             dim=self.dim, dim_head=64, heads=8, dropout=self.dropout,
             downsample_factor=4, offset_scale=4.0, offset_groups=8,
             offset_kernel_size=6, cpb_query_chunk=self.cpb_query_chunk,
-            use_pallas=self.use_pallas, dtype=self.dtype, name="attn2d")
+            use_pallas=self.use_pallas, seq_mesh=self.seq_mesh,
+            dtype=self.dtype, name="attn2d")
         if return_vgrid:
             out, vgrid = attn(n1, n2, return_vgrid=True, deterministic=deterministic,
                               mask=mask)
@@ -80,6 +82,7 @@ class DeformCrossTransMIL(nn.Module):
     dropout: float = 0.1
     cpb_query_chunk: int = 512
     use_pallas: bool = False
+    seq_mesh: Optional[object] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -114,6 +117,7 @@ class DeformCrossTransMIL(nn.Module):
                                       dropout=self.dropout,
                                       cpb_query_chunk=self.cpb_query_chunk,
                                       use_pallas=self.use_pallas,
+                                      seq_mesh=self.seq_mesh,
                                       dtype=self.dtype, name="layer3")
         vgrid = None
         if self.attn_dim == 1:
@@ -171,6 +175,7 @@ class DeformPathomicNet(nn.Module):
     remat: bool = False
     cpb_query_chunk: int = 512
     use_pallas: bool = False
+    seq_mesh: Optional[object] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -193,7 +198,8 @@ class DeformPathomicNet(nn.Module):
                           attn_dim=self.attn_dim, return_vgrid=self.return_vgrid,
                           dropout=self.dropout_rate,
                           cpb_query_chunk=self.cpb_query_chunk,
-                          use_pallas=self.use_pallas, dtype=self.dtype,
+                          use_pallas=self.use_pallas, seq_mesh=self.seq_mesh,
+                          dtype=self.dtype,
                           name=f"pathomic_net_{name}")
             return mil(x_path, omic["features"], deterministic, mask)
 

@@ -61,6 +61,16 @@ def _seq_mesh(config: Config):
                     f"seq_devices={config.seq_devices} must divide the Nystrom "
                     f"landmark count {dim // 2} (TransLayer dim {dim} // 2) for "
                     f"mode={config.mode!r}")
+        if config.mode == "deformpathomic":
+            if config.attn_dim != 2:
+                raise ValueError("seq_devices requires attn_dim=2 for "
+                                 "deformpathomic (1-D branch is not sharded)")
+            side = config.grid_size
+            if side % (4 * config.seq_devices):
+                raise ValueError(
+                    f"seq_devices={config.seq_devices}: the {side}x{side} query "
+                    f"grid must split into whole kv rows per shard — side must "
+                    f"be a multiple of 4*seq_devices")
         from sml_tpu.parallel.mesh import make_mesh
 
         return make_mesh(config)
@@ -110,7 +120,7 @@ def define_net(config: Config) -> nn.Module:
             cut_fuse_grad=config.cut_fuse_grad, task_type=config.task_type,
             init_max=init_max, skip=config.skip, use_bilinear=config.use_bilinear,
             path_scale=config.path_scale, omic_scale=config.omic_scale,
-            remat=config.remat, dtype=dtype)
+            remat=config.remat, seq_mesh=_seq_mesh(config), dtype=dtype)
     raise NotImplementedError(f"model [{mode}] is not implemented")
 
 

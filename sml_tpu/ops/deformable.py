@@ -133,6 +133,12 @@ class CPB2D(nn.Module):
         self.b1 = self.param("b1", nn.initializers.zeros, (d,))
         self.b2 = self.param("b2", nn.initializers.zeros, (o,))
 
+    def raw(self):
+        """Raw param values (registers the setup params on first touch) — the
+        sequence-parallel body re-applies CPB2D on this tree inside shard_map."""
+        return {"w0": self.w0, "w1": self.w1, "w2": self.w2,
+                "b0": self.b0, "b1": self.b1, "b2": self.b2}
+
     def factors(self, x_coords: jnp.ndarray, y_coords: jnp.ndarray,
                 grid_kv: jnp.ndarray):
         """Separable layer-1 tables + raw layer-2/3 params (for the Pallas kernel).
@@ -303,11 +309,31 @@ def _ungroup(t: jnp.ndarray, g: int) -> jnp.ndarray:
     return t.reshape((b,) + spatial + (g * d,))
 
 
+class _ConvParams(nn.Module):
+    """Registers a Conv-shaped param subtree ({kernel[, bias]}) without computing
+    (the sequence-parallel body owns the convs inside shard_map; the checkpoint
+    tree stays identical to the single-device ``nn.Conv`` path)."""
+    kshape: tuple
+    bias_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self):
+        p = {"kernel": self.param("kernel", torch_kernel_init, self.kshape)}
+        if self.bias_dim is not None:
+            p["bias"] = self.param("bias", nn.initializers.zeros,
+                                   (self.bias_dim,))
+        return p
+
+
 class DeformCrossAttention2D(nn.Module):
     """2-D deformable cross-attention: queries from the fused stream (x1), keys/values
     bilinearly sampled from the path stream (x2) at learned offset locations.
 
     Token API: x1, x2 are (B, N, C) with N a perfect square.
+
+    ``seq_mesh``: a (data, seq) Mesh shards the query-row axis across the 'seq'
+    axis (``parallel/seq_deform.py``) — the O(N*J) CPB/attention work splits per
+    device; see that module for the communication pattern.
     """
     dim: int
     dim_head: int = 64
@@ -322,6 +348,7 @@ class DeformCrossAttention2D(nn.Module):
     cpb_query_chunk: int = 512
     use_pallas: bool = False      # fused bias+softmax kernel on the no-grad path
     pallas_interpret: bool = False
+    seq_mesh: Optional[object] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -330,6 +357,10 @@ class DeformCrossAttention2D(nn.Module):
         b, n, c = x1.shape
         h = w = int(round(n ** 0.5))
         assert h * w == n, f"token count {n} must be a perfect square"
+        if (self.seq_mesh is not None
+                and dict(self.seq_mesh.shape).get("seq", 1) > 1):
+            return self._seq_parallel(x1, x2, return_vgrid, deterministic, mask,
+                                      h, w)
         if mask is not None:
             # padded-bag semantics: masked tokens contribute exactly like the zeros
             # padding outside the image (reference grid_sample padding_mode='zeros',
@@ -411,6 +442,50 @@ class DeformCrossAttention2D(nn.Module):
         if return_vgrid:
             vgrid_out = vgrid.reshape(b, g, hd, wd, 2)
             return out, vgrid_out
+        return out
+
+    def _seq_parallel(self, x1, x2, return_vgrid, deterministic, mask, h, w):
+        """Query-row-sharded forward over the mesh's 'seq' axis.  Params are
+        declared through mirrors so the tree matches the single-device path
+        (checkpoints are interchangeable)."""
+        from sml_tpu.parallel.seq_deform import run_seq_parallel_deform2d
+
+        _, _, c = x1.shape
+        g = self.offset_groups
+        inner = self.dim_head * self.heads
+        od = inner // g
+        gq = g if self.group_queries else 1
+        gkv = g if self.group_key_values else 1
+        ks = self.offset_kernel_size
+        params = {
+            "to_q": _ConvParams((1, 1, c // gq, inner), name="to_q")(),
+            "offset_conv": _ConvParams((ks, ks, 1, od), od,
+                                       name="offset_conv")(),
+            "offset_proj": _ConvParams((1, 1, od, 2), name="offset_proj")(),
+            "to_k": _ConvParams((1, 1, c // gkv, inner), name="to_k")(),
+            "to_v": _ConvParams((1, 1, c // gkv, inner), name="to_v")(),
+            "to_out": _ConvParams((1, 1, inner, self.dim), self.dim,
+                                  name="to_out")(),
+            "rel_pos_bias": CPB2D(self.dim // 4, heads=self.heads,
+                                  offset_groups=g, impl="naive",
+                                  query_chunk=self.cpb_query_chunk,
+                                  dtype=self.dtype, name="rel_pos_bias").raw(),
+        }
+        rng = None
+        if not deterministic and self.dropout > 0.0:
+            rng = self.make_rng("dropout")
+
+        out, vgrid = run_seq_parallel_deform2d(
+            self.seq_mesh, params, x1, x2, mask, rng,
+            dim=self.dim, dim_head=self.dim_head, heads=self.heads,
+            offset_groups=g, downsample_factor=self.downsample_factor,
+            offset_scale=self.offset_scale, offset_kernel_size=ks,
+            group_queries=self.group_queries,
+            group_key_values=self.group_key_values,
+            cpb_query_chunk=self.cpb_query_chunk, dropout=self.dropout,
+            h=h, w=w, dtype=self.dtype)
+        if return_vgrid:
+            return out, vgrid
         return out
 
 

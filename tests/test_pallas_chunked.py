@@ -1,5 +1,9 @@
-"""Force the Pallas CPB kernels' row-block and lane-split paths in interpret mode
-(the defaults only trigger at 4k-bag scale on real hardware)."""
+"""Force the Pallas CPB kernels' row-block and lane-chunk GRID paths in interpret
+mode (the defaults only trigger at 4k-bag scale on real hardware).
+
+Round 3: the lane chunk is a grid dimension streaming ``u`` from HBM, and chunked
+lane blocks must be %128 (Mosaic) — so the forced shapes use J=128.
+"""
 
 import numpy as np
 import pytest
@@ -9,55 +13,52 @@ import jax.numpy as jnp
 
 import sml_tpu.ops.pallas.deform_attn as da
 
+BG, DM, H, W, J = 3, 16, 16, 8, 128
+
 
 @pytest.fixture()
 def tiny_limits(monkeypatch):
-    # thresholds chosen so h=16/w=8 shapes pick n_rb>1 and wsplit>1
-    # (h must be a multiple of 8: row blocks now honor Mosaic's sublane rule —
-    # block height % 8 == 0 or == h — so forced blocking needs an 8-row block)
-    monkeypatch.setattr(da, "_MAX_ROWBLOCK_BYTES", 8 * 4 * 6 * 4 // 2)
-    monkeypatch.setattr(da, "_MAX_CHUNK_LANES", 16)
+    # lane cap 512 forces wsplit=2 (cwj = 4*128 = 512, %128-legal);
+    # row-block cap 16KB forces h_rb=8 (8*512*4) -> n_rb=2
+    monkeypatch.setattr(da, "_MAX_CHUNK_LANES", 512)
+    monkeypatch.setattr(da, "_MAX_ROWBLOCK_BYTES", 16 * 1024)
     yield
 
 
 def _data():
     rng = np.random.default_rng(0)
-    bg, dm, hgt, wid, j = 3, 16, 16, 8, 4
-    u4 = rng.normal(size=(bg, wid, dm, j)).astype(np.float32)
-    u = np.ascontiguousarray(u4.transpose(0, 2, 1, 3)).reshape(bg, dm, wid * j)
-    v = rng.normal(size=(bg, hgt, dm, j)).astype(np.float32)
-    w1 = rng.normal(size=(dm, dm)).astype(np.float32) * 0.3
-    b1 = rng.normal(size=(dm,)).astype(np.float32) * 0.1
-    w2 = rng.normal(size=(dm, 1)).astype(np.float32) * 0.3
+    u4 = rng.normal(size=(BG, W, DM, J)).astype(np.float32)
+    u = np.ascontiguousarray(u4.transpose(0, 2, 1, 3)).reshape(BG, DM, W * J)
+    v = rng.normal(size=(BG, H, DM, J)).astype(np.float32)
+    w1 = rng.normal(size=(DM, DM)).astype(np.float32) * 0.3
+    b1 = rng.normal(size=(DM,)).astype(np.float32) * 0.1
+    w2 = rng.normal(size=(DM, 1)).astype(np.float32) * 0.3
     b2 = rng.normal(size=(1,)).astype(np.float32) * 0.1
     return [jnp.asarray(x) for x in (u, v, w1, b1, w2, b2)]
 
 
 def test_forced_chunking_matches_unchunked(tiny_limits):
     args = _data()
-    assert da._pick_rowblocks(16, 32) > 1
-    assert da._pick_wsplit(8, 4, 16, 0, 4) > 1
+    assert da._pick_tiling(DM, W, H, J, 4, bwd=False) == (2, 2)
+    assert da._pick_tiling(DM, W, H, J, 4, bwd=True) == (2, 2)
     chunked = np.asarray(da.fused_cpb_bias(*args, interpret=True))
 
     # reference: dense MLP in numpy
     u, v, w1, b1, w2, b2 = [np.asarray(a) for a in args]
-    bg, dm, wj = u.shape
-    _, h, _, j = v.shape
-    w = wj // j
-    u4 = u.reshape(bg, dm, w, j)
-    expect = np.zeros((bg, h, wj), np.float32)
-    for b in range(bg):
-        for iy in range(h):
-            for ix in range(w):
+    u4 = u.reshape(BG, DM, W, J)
+    expect = np.zeros((BG, H, W * J), np.float32)
+    for b in range(BG):
+        for iy in range(H):
+            for ix in range(W):
                 h1 = np.maximum(u4[b, :, ix, :] + v[b, iy], 0)
                 h2 = np.maximum(w1.T @ h1 + b1[:, None], 0)
-                expect[b, iy, ix * j:(ix + 1) * j] = w2[:, 0] @ h2 + b2[0]
+                expect[b, iy, ix * J:(ix + 1) * J] = w2[:, 0] @ h2 + b2[0]
     np.testing.assert_allclose(chunked, expect, rtol=1e-4, atol=1e-5)
 
 
 def test_forced_chunking_grads_match(tiny_limits):
     args = _data()
-    cot = jnp.asarray(np.random.default_rng(1).normal(size=(3, 16, 32))
+    cot = jnp.asarray(np.random.default_rng(1).normal(size=(BG, H, W * J))
                       .astype(np.float32))
 
     def loss(*a):
@@ -87,3 +88,13 @@ def test_forced_chunking_grads_match(tiny_limits):
     for gc, gr in zip(grads_chunked, grads_ref):
         np.testing.assert_allclose(np.asarray(gc), np.asarray(gr), rtol=1e-3,
                                    atol=1e-4)
+
+
+def test_16k_shape_now_tiles():
+    """The 16k-bag shape (W=128, J=1024) has a legal streamed tiling (the u
+    table streams per lane chunk instead of living whole in VMEM)."""
+    assert da.pallas_cpb_supported(32, 128, 128, 1024)
+    s, nb = da._pick_tiling(32, 128, 128, 1024, 2, bwd=True)
+    assert s > 1  # genuinely chunked
+    cwj = (128 // s) * 1024
+    assert cwj <= da._MAX_CHUNK_LANES and cwj % 128 == 0

@@ -102,14 +102,17 @@ def test_cpb_factors_consistent_with_call():
 
 
 def test_pallas_cpb_support_predicate():
-    """Shape gate: the headline shapes tile; 16k-patch bags (u table > VMEM) and
-    unaligned-row-block shapes do not."""
+    """Shape gate = the tiling picker (shared constants, round-2 advice): all
+    production shapes now tile — 16k included, via grid-streamed u chunks; a
+    shape whose minimal legal chunk still exceeds lane caps does not."""
     from sml_tpu.ops.pallas.deform_attn import pallas_cpb_supported
 
     assert pallas_cpb_supported(32, 50, 50, 144)     # fixdim 2500
     assert pallas_cpb_supported(32, 64, 64, 256)     # fixdim 4096
-    assert not pallas_cpb_supported(32, 128, 128, 1024)   # fixdim 16384
-    assert not pallas_cpb_supported(32, 96, 96, 576)      # fixdim 9216
+    assert pallas_cpb_supported(32, 96, 96, 576)     # fixdim 9216
+    assert pallas_cpb_supported(32, 128, 128, 1024)  # fixdim 16384 (round 3)
+    # J alone beyond the lane cap: no legal chunk exists
+    assert not pallas_cpb_supported(32, 128, 128, 16384)
 
 
 def test_cpb2d_pallas_falls_back_on_unsupported_shape(monkeypatch):
