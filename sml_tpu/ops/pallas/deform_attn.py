@@ -77,8 +77,7 @@ def _tile_bytes(dm: int, h_rb: int, cwj: int, j: int, usize: int,
     v2 = 2 * h_rb * dm * j * (usize + 4)          # v block + dv accumulator block
     du2 = 2 * dm * cwj * usize                    # du block (per-program)
     temps = 6 * dm * cwj * 4
-    scratch = (2 * dm + 1) * cwj * 4              # deferred-reduce accumulators
-    return u2 + bias2 + v2 + du2 + temps + scratch
+    return u2 + bias2 + v2 + du2 + temps
 
 
 def _pick_tiling(dm: int, w: int, h: int, j: int, usize: int, bwd: bool):
@@ -213,7 +212,6 @@ def fused_cpb_bias(u: jnp.ndarray, v: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndar
 
 def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
                 du_ref, dv_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                acc_dw2_ref, acc_db1_ref, acc_db2_ref,
                 *, h_rb: int, cw: int, j: int, dm: int):
     """Backward: recompute h1/h2 per (row, lane-chunk), accumulate grads in VMEM.
 
@@ -221,10 +219,6 @@ def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
     across a row-block's chunk programs (consecutive revisits; zero-init at
     chunk 0); du is per-(row-block, chunk) and summed over row-blocks outside;
     dw*/db* partials accumulate across all of a bg's programs.
-
-    Lane reductions are DEFERRED: dw2/db1/db2 contributions accumulate as
-    (dm, lanes) tiles in scratch across the row loop and reduce ONCE at program
-    end — per-row lane reductions were ~9% of the backward (measured).
     """
     u = u_ref[0]                                         # (dm, cw*J)
     w2 = w2_ref[:].astype(jnp.float32)                   # (1, dm)
@@ -241,9 +235,6 @@ def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     du_ref[0, 0] = jnp.zeros_like(du_ref[0, 0])
-    acc_dw2_ref[...] = jnp.zeros_like(acc_dw2_ref)
-    acc_db1_ref[...] = jnp.zeros_like(acc_db1_ref)
-    acc_db2_ref[...] = jnp.zeros_like(acc_db2_ref)
 
     def body(r, carry):
         v_row = v_ref[0, r]                              # (dm, J)
@@ -256,9 +247,9 @@ def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
 
         dbias = dbias_ref[0, pl.ds(r, 1)].astype(jnp.float32)   # (1, cw*J)
 
-        # layer-3: bias = w2 @ h2 + b2 (tile accumulation; reduced after loop)
-        acc_dw2_ref[...] += h2 * dbias
-        acc_db2_ref[...] += dbias
+        # layer-3: bias = w2 @ h2 + b2 (lane reductions, no transposes)
+        dw2_ref[0] += jnp.sum(h2 * dbias, axis=1, keepdims=True)   # (dm, 1)
+        db2_ref[0] += jnp.sum(dbias).reshape(1, 1)
         dh2 = jax.lax.dot_general(w2, dbias, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         dz2 = jnp.where(z2 > 0, dh2, 0.0)
@@ -267,7 +258,7 @@ def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
         dz2_c = dz2.astype(u.dtype)
         dw1_ref[0] += jax.lax.dot_general(h1, dz2_c, (((1,), (1,)), ((), ())),
                                           preferred_element_type=jnp.float32)
-        acc_db1_ref[...] += dz2
+        db1_ref[0] += jnp.sum(dz2, axis=1, keepdims=True)
         dh1 = jnp.dot(w1_ref[:], dz2_c, preferred_element_type=jnp.float32)
         # relu mask in f32: the target does not support bf16 comparisons
         dz1 = jnp.where(h1.astype(jnp.float32) > 0, dh1, 0.0)
@@ -281,9 +272,6 @@ def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
         return carry
 
     jax.lax.fori_loop(0, h_rb, body, 0)
-    dw2_ref[0] += jnp.sum(acc_dw2_ref[...], axis=1, keepdims=True)   # (dm, 1)
-    db1_ref[0] += jnp.sum(acc_db1_ref[...], axis=1, keepdims=True)
-    db2_ref[0] += jnp.sum(acc_db2_ref[...]).reshape(1, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -340,11 +328,6 @@ def _cpb_bwd_call(u, v, w1, b1, w2, dbias, interpret=False):
             jax.ShapeDtypeStruct((bg, dm, 1), f32),             # db1 partials
             jax.ShapeDtypeStruct((bg, dm, 1), f32),             # dw2 partials
             jax.ShapeDtypeStruct((bg, 1, 1), f32),              # db2 partials
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((dm, cwj), f32),       # acc_dw2
-            pltpu.VMEM((dm, cwj), f32),       # acc_db1
-            pltpu.VMEM((1, cwj), f32),        # acc_db2
         ],
         interpret=interpret,
     )(u, v, w1, b1.reshape(dm, 1), w2.reshape(1, dm), dbias)
