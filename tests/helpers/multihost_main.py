@@ -21,6 +21,7 @@ def main() -> int:
     rank = int(sys.argv[1])
     port = sys.argv[2]
     ckdir = sys.argv[3]
+    device_loop = len(sys.argv) > 4 and sys.argv[4] == "device_loop"
     n_local = 2 if rank >= 0 else 4
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "").split("--xla_force_host_platform")[0]
@@ -43,6 +44,7 @@ def main() -> int:
         coordinator_address=f"127.0.0.1:{port}" if rank >= 0 else "",
         num_processes=2 if rank >= 0 else 0,
         process_id=rank if rank >= 0 else -1,
+        device_loop=device_loop, device_loop_chunk=2 if device_loop else 0,
     )
     distributed.initialize(config)
     assert jax.process_count() == (2 if rank >= 0 else 1)

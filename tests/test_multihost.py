@@ -111,27 +111,34 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_multihost_helper(rank: int, port, ckdir: str, timeout=600):
+def _run_multihost_helper(rank: int, port, ckdir: str, mode: str = ""):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    return subprocess.Popen(
-        [sys.executable,
-         os.path.join(os.path.dirname(__file__), "helpers", "multihost_main.py"),
-         str(rank), str(port), ckdir],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+    argv = [sys.executable,
+            os.path.join(os.path.dirname(__file__), "helpers",
+                         "multihost_main.py"),
+            str(rank), str(port), ckdir]
+    if mode:
+        argv.append(mode)
+    return subprocess.Popen(argv, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True, env=env)
 
 
 @pytest.mark.slow
-def test_two_process_train_matches_single_process(tmp_path):
+@pytest.mark.parametrize("mode", ["", "device_loop"])
+def test_two_process_train_matches_single_process(tmp_path, mode):
+    """2-process == 1-process for BOTH trainer paths: per-step host dispatch and
+    the scanned device loop (exercises shard_stacked_batches' multi-process
+    global-array assembly)."""
     port = _free_port()
-    p0 = _run_multihost_helper(0, port, str(tmp_path / "mh"))
-    p1 = _run_multihost_helper(1, port, str(tmp_path / "mh"))
+    p0 = _run_multihost_helper(0, port, str(tmp_path / "mh"), mode)
+    p1 = _run_multihost_helper(1, port, str(tmp_path / "mh"), mode)
     out0, _ = p0.communicate(timeout=900)
     out1, _ = p1.communicate(timeout=900)
     assert p0.returncode == 0, f"rank0 failed:\n{out0}\n--- rank1:\n{out1}"
     assert p1.returncode == 0, f"rank1 failed:\n{out1}"
 
-    ps = _run_multihost_helper(-1, 0, str(tmp_path / "sp"))
+    ps = _run_multihost_helper(-1, 0, str(tmp_path / "sp"), mode)
     outs, _ = ps.communicate(timeout=900)
     assert ps.returncode == 0, f"single-process baseline failed:\n{outs}"
 
