@@ -22,7 +22,7 @@ def main(argv=None) -> int:
                         help="checkpoint path (weights-only, e.g. .../best_modal)")
     parser.add_argument("--attribution", default="", type=str,
                         choices=["", "mcat_groups", "ablation", "permutation",
-                                 "gradient_shap"],
+                                 "gradient_shap", "deep_shap"],
                         help="post-eval gene attribution: 'mcat_groups' = per-"
                              "signature-group IG through the co-attention stack "
                              "(reference MCAT_Surv.captum, model.py:669-705); "
@@ -205,6 +205,22 @@ def _gene_attribution(config, model, variables, eval_step, test_loader, kind):
         attrs = [imp.gradient_shap(loss_fn, b, background, seed=config.seed)
                  for b in batches]
         return np.abs(np.concatenate(attrs)).mean(axis=0)
+
+    if kind == "deep_shap":
+        # exact DeepLIFT-rescale estimator (the reference's shap.DeepExplainer
+        # slot, utils/feature_importance.py:37-72) — MaxNet MLP path
+        if config.mode != "omic":
+            raise ValueError("--attribution deep_shap runs the exact DeepLIFT "
+                             "chain through MaxNet; use --mode omic "
+                             "(gradient_shap covers the other modes)")
+        background = np.concatenate([b["x_omic"] for b in batches])
+        per_class = []
+        for c in range(config.label_dim):
+            attrs = [imp.deep_shap_maxnet(variables["params"], b["x_omic"],
+                                          background, class_index=c)
+                     for b in batches]
+            per_class.append(np.abs(np.concatenate(attrs)).mean(axis=0))
+        return np.mean(per_class, axis=0)
 
     raise ValueError(kind)
 

@@ -108,6 +108,63 @@ def gradient_shap(loss_fn: Callable, batch: Dict[str, np.ndarray],
     return np.asarray(total / n_samples)
 
 
+def deep_shap_maxnet(params: dict, x: np.ndarray, background: np.ndarray,
+                     class_index: int = 0, eps: float = 1e-6) -> np.ndarray:
+    """Exact Deep-SHAP (DeepLIFT rescale rule) through the MaxNet genomic MLP.
+
+    The reference's ``shap.DeepExplainer`` path (``utils/feature_importance.py:
+    37-72``) is what this replaces for the inventory's exact-estimator slot: the
+    DeepLIFT multiplier chain — for each elementwise nonlinearity sigma the
+    multiplier is the SECANT slope ``(sigma(z) - sigma(z_ref)) / (z - z_ref)``
+    (local derivative at the midpoint when |dz| < eps), composed linearly through
+    the Dense layers — averaged over the background references, exactly
+    ``DeepExplainer``'s estimator for an MLP.  Satisfies summation-to-delta
+    EXACTLY: per (sample, reference), attributions sum to
+    ``logit(x) - logit(ref)`` (tested).
+
+    params: MaxNet variables['params'] (encoder1..4 + classifier).
+    x (B, D) inputs; background (R, D) reference rows.
+    Returns per-sample SHAP values (B, D) for ``class_index``'s logit.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    enc = [params[f"encoder{i}"] for i in range(1, 5)]
+    wc = params["classifier"]["kernel"][:, class_index]
+
+    def secant(fn, z, z_ref, dfn):
+        dz = z - z_ref
+        safe = jnp.where(jnp.abs(dz) > eps, dz, 1.0)
+        sec = (fn(z) - fn(z_ref)) / safe
+        return jnp.where(jnp.abs(dz) > eps, sec, dfn((z + z_ref) / 2.0))
+
+    d_elu = lambda z: jnp.where(z > 0, 1.0, jnp.exp(z))
+    d_relu = lambda z: (z > 0).astype(z.dtype)
+
+    def one_pair(xi, ref):
+        zs, zrs = [], []
+        h, hr = xi, ref
+        for layer in enc:                       # Dense -> ELU (dropout = eval)
+            z = h @ layer["kernel"] + layer["bias"]
+            zr = hr @ layer["kernel"] + layer["bias"]
+            zs.append(z)
+            zrs.append(zr)
+            h, hr = jax.nn.elu(z), jax.nn.elu(zr)
+        a4, a4r = h, hr                          # features = relu(elu(z4))
+
+        m = wc                                   # d logit / d features (linear)
+        m = m * secant(jax.nn.relu, a4, a4r, d_relu)
+        for layer, z, zr in zip(reversed(enc), reversed(zs), reversed(zrs)):
+            m = m * secant(jax.nn.elu, z, zr, d_elu)
+            m = layer["kernel"] @ m
+        return m * (xi - ref)                    # (D,) attributions
+
+    pair = jax.jit(jax.vmap(jax.vmap(one_pair, in_axes=(None, 0)),
+                            in_axes=(0, None)))
+    attr = pair(jnp.asarray(x), jnp.asarray(background))   # (B, R, D)
+    return np.asarray(attr.mean(axis=1))
+
+
 def mcat_group_attribution(model, variables, batches: List[Dict[str, np.ndarray]],
                            omic_sizes: Optional[Sequence[int]] = None,
                            steps: int = 16

@@ -129,3 +129,62 @@ def test_attribution_cli_modes(tmp_path):
     assert inf_mod.main(base + ["--model_fp", fp,
                                 "--attribution", "permutation"]) == 0
     assert sum(1 for _ in open(os.path.join(ck, "gene_importance.csv"))) == 432
+
+    assert inf_mod.main(base + ["--model_fp", fp,
+                                "--attribution", "deep_shap"]) == 0
+    assert sum(1 for _ in open(os.path.join(ck, "gene_importance.csv"))) == 432
+
+
+def test_deep_shap_summation_to_delta():
+    """DeepLIFT rescale satisfies completeness EXACTLY: per (sample, reference),
+    attributions sum to logit(x) - logit(ref)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sml_tpu.models.maxnet import MaxNet
+    from sml_tpu.utils.importance import deep_shap_maxnet
+
+    rng = np.random.default_rng(0)
+    model = MaxNet(input_dim=31, omic_dim=16, label_dim=4, dropout_rate=0.0)
+    x = rng.normal(size=(5, 31)).astype(np.float32)
+    bg = rng.normal(size=(3, 31)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           deterministic=True)
+
+    c = 2
+    attr = deep_shap_maxnet(variables["params"], x, bg, class_index=c)
+    assert attr.shape == (5, 31)
+
+    logits = np.asarray(model.apply(variables, jnp.asarray(x),
+                                    deterministic=True)["logits"])[:, c]
+    ref_logits = np.asarray(model.apply(variables, jnp.asarray(bg),
+                                        deterministic=True)["logits"])[:, c]
+    # mean over refs of (logit(x) - logit(ref)) must equal the attribution sums
+    np.testing.assert_allclose(attr.sum(axis=1),
+                               logits - ref_logits.mean(), rtol=1e-4, atol=1e-4)
+
+
+def test_deep_shap_matches_gradient_for_near_reference():
+    """As ref -> x the multipliers converge to local derivatives: attributions
+    approach grad * dx."""
+    import jax
+    import jax.numpy as jnp
+
+    from sml_tpu.models.maxnet import MaxNet
+    from sml_tpu.utils.importance import deep_shap_maxnet
+
+    rng = np.random.default_rng(1)
+    model = MaxNet(input_dim=13, omic_dim=8, label_dim=3, dropout_rate=0.0)
+    x = rng.normal(size=(1, 13)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(1), jnp.asarray(x),
+                           deterministic=True)
+    delta = rng.normal(size=(1, 13)).astype(np.float32) * 1e-4
+    bg = x - delta
+
+    attr = deep_shap_maxnet(variables["params"], x, bg, class_index=0)
+
+    def logit0(o):
+        return model.apply(variables, o, deterministic=True)["logits"][:, 0].sum()
+
+    g = np.asarray(jax.grad(lambda o: logit0(o))(jnp.asarray(x)))
+    np.testing.assert_allclose(attr, g * delta, rtol=5e-2, atol=1e-9)
