@@ -277,7 +277,11 @@ def main():
             "vs_baseline": round(vs_baseline, 3),
             "baseline_kind": baseline_kind,
             "fixdim": args.fixdim,
-            "mfu": round(result["mfu"], 4)}
+            "mfu": round(result["mfu"], 4),
+            # XLA cost analysis cannot see inside Pallas kernels, so this MFU
+            # counts XLA-visible FLOPs only and FALLS as math moves into the
+            # fused kernels; the analytic (all-math) MFU is in benchmarks/BENCH.md
+            "mfu_kind": "xla_visible_flops_only"}
     if args.full:
         print(json.dumps(result, indent=2))
     print(json.dumps(line))

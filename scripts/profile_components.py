@@ -47,6 +47,7 @@ def main():
     ap.add_argument("--fixdim", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--components", nargs="+", default=["all"])
+    ap.add_argument("--dropout_rate", type=float, default=0.1)
     args = ap.parse_args()
 
     import jax
@@ -71,7 +72,8 @@ def main():
 
     config = Config(mode="deformpathomic", fixdim=n, batch_size=b,
                     task_type="diag2021", compute_dtype="bfloat16",
-                    gradient_modulate=True, return_vgrid=True, use_pallas=True)
+                    gradient_modulate=True, return_vgrid=True, use_pallas=True,
+                    dropout_rate=args.dropout_rate)
     model = define_net(config)
     batch = _example_batch(config, b)
     variables = init_model(config, model, jax.random.PRNGKey(0), batch)
@@ -115,6 +117,82 @@ def main():
         results[f"cpb_{impl}_fwdbwd_ms"] = timed(
             lambda p, gkv: grad(p, gkv)[1], (params, grid_kv), args.steps)
         print(f"cpb_{impl}_fwdbwd_ms", results[f"cpb_{impl}_fwdbwd_ms"], flush=True)
+
+    if has("attn"):
+        # the XLA attention epilogue alone at model shapes: sim + bias + softmax
+        # + attn@v, fwd+bwd wrt q/k/v/bias (the chain that materializes the
+        # (B, h, N, J) f32 tensors around the Pallas CPB kernel)
+        heads, dh = 8, 64
+        qh = jnp.asarray(rng.standard_normal((b, heads, n, dh)), jnp.bfloat16)
+        kh = jnp.asarray(rng.standard_normal((b, heads, j, dh)), jnp.bfloat16)
+        vh = jnp.asarray(rng.standard_normal((b, heads, j, dh)), jnp.bfloat16)
+        bias_in = jnp.asarray(rng.standard_normal((b, heads, n, j)), jnp.float32)
+
+        def attn_chain(q_, k_, v_, bias_):
+            sim = jnp.einsum("bhid,bhjd->bhij", q_, k_) + bias_
+            sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
+            attn = jax.nn.softmax(sim, axis=-1)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v_)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        gfn = jax.jit(jax.grad(attn_chain, argnums=(0, 1, 2, 3)))
+        results["attn_chain_fwdbwd_ms"] = timed(
+            lambda *a: gfn(*a)[0], (qh, kh, vh, bias_in), args.steps)
+        print("attn_chain_fwdbwd_ms", results["attn_chain_fwdbwd_ms"], flush=True)
+
+    if has("fusedattn"):
+        # the fused attention-epilogue kernel alone (fwd+bwd), with and
+        # without the dropout-mask operand, at model shapes
+        from sml_tpu.ops.pallas.deform_attn import deform_attention_trainable
+
+        heads, dh = 8, 64
+        bgf = b * heads
+        qf = jnp.asarray(rng.standard_normal((bgf, n, dh)), jnp.bfloat16)
+        kf = jnp.asarray(rng.standard_normal((bgf, j, dh)), jnp.bfloat16)
+        vf = jnp.asarray(rng.standard_normal((bgf, j, dh)), jnp.bfloat16)
+        bias_f = jnp.asarray(rng.standard_normal((bgf, n, j)), jnp.float32)
+        mask_f = jnp.asarray(
+            (rng.uniform(size=(bgf, n, j)) < 0.9), jnp.bfloat16)
+
+        def floss(q_, k_, v_, b_, m_):
+            o = deform_attention_trainable(q_, k_, v_, b_, m_,
+                                           0.9 if m_ is not None else 1.0)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        g_nomask = jax.jit(jax.grad(lambda q_, k_, v_, b_:
+                                    floss(q_, k_, v_, b_, None),
+                                    argnums=(0, 1, 2, 3)))
+        results["fusedattn_fwdbwd_ms"] = timed(
+            lambda *a: g_nomask(*a)[0], (qf, kf, vf, bias_f), args.steps)
+        print("fusedattn_fwdbwd_ms", results["fusedattn_fwdbwd_ms"], flush=True)
+
+        g_mask = jax.jit(jax.grad(floss, argnums=(0, 1, 2, 3)))
+        results["fusedattn_mask_fwdbwd_ms"] = timed(
+            lambda *a: g_mask(*a)[0], (qf, kf, vf, bias_f, mask_f), args.steps)
+        print("fusedattn_mask_fwdbwd_ms", results["fusedattn_mask_fwdbwd_ms"],
+              flush=True)
+
+        mk = jax.jit(lambda key: jax.random.bernoulli(
+            key, 0.9, (bgf, n, j)).astype(jnp.bfloat16))
+        results["maskgen_ms"] = timed(mk, (jax.random.PRNGKey(7),), args.steps)
+        print("maskgen_ms", results["maskgen_ms"], flush=True)
+
+    if has("factors"):
+        # CPB factor-table construction (u/v build incl. the (BG, W, dm, J) ->
+        # (BG, dm, W*J) transpose) fwd+bwd wrt grid_kv — XLA glue around the kernel
+        mod_f = CPB2D(dim=32, heads=8, offset_groups=g, impl="pallas",
+                      dtype=jnp.bfloat16)
+        bound = mod_f.bind(mod_f.init(jax.random.PRNGKey(0), x_axis, y_axis,
+                                      grid_kv, b))
+
+        def fac_loss(gkv):
+            u, v, *_ = bound.factors(x_axis, y_axis, gkv)
+            return (jnp.sum(u.astype(jnp.float32) ** 2)
+                    + jnp.sum(v.astype(jnp.float32) ** 2))
+
+        gfac = jax.jit(jax.grad(fac_loss))
+        results["factors_fwdbwd_ms"] = timed(gfac, (grid_kv,), args.steps)
+        print("factors_fwdbwd_ms", results["factors_fwdbwd_ms"], flush=True)
 
     if has("nocpb"):
         # deform attention with the CPB zeroed: isolates qkv/offsets/grid-sample/

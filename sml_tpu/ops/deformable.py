@@ -152,9 +152,10 @@ class CPB2D(nn.Module):
         signlog = lambda p: jnp.sign(p) * jnp.log(jnp.abs(p) + 1.0)
         dx = signlog(x_coords[None, :, None] - grid_kv[:, None, :, 0])  # (BG, W, J)
         dy = signlog(y_coords[None, :, None] - grid_kv[:, None, :, 1])  # (BG, H, J)
-        u = dx[:, :, None, :].astype(cdt) * self.w0[0][None, None, :, None].astype(cdt)
-        # u: (BG, W, dim, J) -> (BG, dim, W, J) -> (BG, dim, W*J)
-        u = u.transpose(0, 2, 1, 3)
+        # build u directly in (BG, dim, W, J) order — a transposed build here
+        # cost a measured ~2.7 ms/branch relayout at the 4k shape
+        u = (dx[:, None, :, :].astype(cdt)
+             * self.w0[0].astype(cdt)[None, :, None, None])     # (BG, dim, W, J)
         bg, d = u.shape[0], u.shape[1]
         u = u.reshape(bg, d, -1)
         v = (dy[:, :, None, :].astype(cdt)
@@ -162,6 +163,26 @@ class CPB2D(nn.Module):
              + self.b0[None, None, :, None].astype(cdt))               # (BG, H, dim, J)
         return u, v, self.w1.astype(cdt), self.b1.astype(cdt), \
             self.w2.astype(cdt), self.b2.astype(cdt)
+
+    def flat_bias(self, x_coords: jnp.ndarray, y_coords: jnp.ndarray,
+                  grid_kv: jnp.ndarray) -> Optional[jnp.ndarray]:
+        """(BG, H*W, J) f32 Pallas bias for the fused attention kernel (query
+        index iy*W + ix, identical to ``__call__``'s layout — the reshape from
+        the kernel's (BG, H, W*J) is free); None when the shape has no legal
+        kernel tiling (caller falls back to the XLA attention chain)."""
+        assert self.impl == "pallas" and self.heads == self.offset_groups
+        from sml_tpu.ops.pallas.deform_attn import (cpb_bias_trainable,
+                                                    pallas_cpb_supported)
+
+        w, h = x_coords.shape[0], y_coords.shape[0]
+        bg, j, _ = grid_kv.shape
+        u, v, w1c, b1c, w2c, b2c = self.factors(x_coords, y_coords, grid_kv)
+        if not pallas_cpb_supported(u.shape[1], w, h, j,
+                                    jnp.dtype(u.dtype).itemsize):
+            return None
+        flat = cpb_bias_trainable(u, v, w1c, b1c, w2c, b2c,
+                                  self.pallas_interpret)     # (BG, H, W*J)
+        return flat.reshape(bg, h * w, j)
 
     def __call__(self, x_coords: jnp.ndarray, y_coords: jnp.ndarray,
                  grid_kv: jnp.ndarray, batch: int) -> jnp.ndarray:
@@ -426,16 +447,63 @@ class DeformCrossAttention2D(nn.Module):
                     pallas_interpret=self.pallas_interpret, dtype=self.dtype,
                     name="rel_pos_bias")
 
-        sim = jnp.einsum("bhid,bhjd->bhij", qh, kh)               # (B, h, N, J)
-        bias = cpb(x_axis, y_axis, grid_kv_scaled, b)
-        sim = sim + bias
+        out_h = None
+        # Fully-fused attention epilogue: sim+softmax(+dropout)+attn@v in a
+        # second kernel consuming the CPB kernel's bias directly — the
+        # (B, h, N, J) chain never exists in HBM (fwd or bwd).  Always fused in
+        # training (the recompute backward is the win: 6.0 -> 2.3 ms/branch at
+        # 4k); on the forward-only serving path only when the shape needs no
+        # row padding (at N=2500 the pad copies erase the kernel's edge and
+        # XLA's fused chain measured faster — bench.py --eval A/B; at N=4096
+        # the kernel won both ways).  Interpret mode stays fused for CPU tests.
+        if cpb_impl == "pallas":
+            from sml_tpu.ops.pallas.deform_attn import (
+                deform_attention_trainable, fused_attention_padding)
 
-        sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
-        attn = nn.softmax(sim, axis=-1)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, vh)             # (B, h, N, dh)
+            j_kv = hd * wd
+            dropout_active = (not deterministic) and self.dropout > 0.0
+            pad_rows = fused_attention_padding(n, j_kv, self.dim_head,
+                                               jnp.dtype(qh.dtype).itemsize,
+                                               dropout_active)
+            if pad_rows is not None and (not deterministic
+                                         or self.pallas_interpret
+                                         or pad_rows == 0):
+                flatb = cpb.flat_bias(x_axis, y_axis, grid_kv_scaled)
+                if flatb is not None:
+                    drop_mask, seed, keep = None, None, 1.0
+                    if dropout_active:
+                        keep = 1.0 - self.dropout
+                        rng = self.make_rng("dropout")
+                        if self.pallas_interpret:
+                            # explicit mask operand: the on-chip PRNG does not
+                            # lower in interpret mode (CPU tests)
+                            drop_mask = jax.random.bernoulli(
+                                rng, keep, (b * g, n, j_kv)).astype(qh.dtype)
+                        else:
+                            kd = (jax.random.key_data(rng)
+                                  if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
+                                  else rng)
+                            seed = jax.lax.bitcast_convert_type(
+                                kd.reshape(2), jnp.int32)
+                    qf = qh.reshape(b * heads, n, self.dim_head)
+                    kf = kh.reshape(b * heads, j_kv, self.dim_head)
+                    vf = vh.reshape(b * heads, j_kv, self.dim_head)
+                    out_f = deform_attention_trainable(
+                        qf, kf, vf, flatb, drop_mask, seed, keep,
+                        self.pallas_interpret)
+                    out_h = out_f.reshape(b, heads, n, self.dim_head)
 
-        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, inner_dim)
+        if out_h is None:
+            sim = jnp.einsum("bhid,bhjd->bhij", qh, kh)           # (B, h, N, J)
+            bias = cpb(x_axis, y_axis, grid_kv_scaled, b)
+            sim = sim + bias
+
+            sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
+            attn = nn.softmax(sim, axis=-1)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out_h = jnp.einsum("bhij,bhjd->bhid", attn, vh)       # (B, h, N, dh)
+
+        out = out_h.transpose(0, 2, 1, 3).reshape(b, h, w, inner_dim)
         out = conv1x1(self.dim, 1, True, "to_out")(out)
         out = out.reshape(b, n, self.dim)
 

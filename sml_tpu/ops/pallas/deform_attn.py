@@ -44,6 +44,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -362,6 +364,300 @@ def _cpb_bwd(interpret, res, dbias):
 
 
 cpb_bias_trainable.defvjp(_cpb_fwd, _cpb_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused attention epilogue: sim + bias + softmax (+ dropout) + attn @ v in one
+# custom-VJP kernel pair, one offset group (== one head) per grid row.
+#
+# The XLA formulation around the CPB kernel materializes the (B, h, N, J) f32
+# chain (sim, attn, their cotangents) in HBM — ~270 MB per tensor per branch at
+# the 4k shape.  This pair reads q/k/v/bias once, keeps the chain VMEM-resident,
+# and recomputes it in backward (no residuals).  Dropout is an exact {0, 1}
+# mask operand generated by XLA threefry (cheap, replays identically in both
+# directions); softmax max-subtraction is stop-gradient like the module's XLA
+# path (reference models/DeformableAttention2D.py:306-311).
+# ---------------------------------------------------------------------------
+
+_ATTN_ROW_BLOCKS = (1024, 512, 256, 128, 64, 32, 16)
+
+
+def _attn_tile_bytes(nb: int, j: int, dh: int, usize: int, has_mask: bool,
+                     bwd: bool) -> int:
+    bias2 = 2 * nb * j * 4
+    q2 = 2 * nb * dh * usize
+    kv2 = 2 * 2 * j * dh * usize
+    mask2 = 2 * nb * j * usize if has_mask else 0
+    if not bwd:
+        temps = 4 * nb * j * 4
+        return bias2 + 2 * q2 + kv2 + mask2 + temps
+    temps = 6 * nb * j * 4
+    acc = 2 * 2 * j * dh * 4                       # dk / dv accumulator blocks
+    return 2 * bias2 + 3 * q2 + kv2 + mask2 + acc + temps
+
+
+def _pick_attn_rowblock(n: int, j: int, dh: int, usize: int, has_mask: bool):
+    """Row block shared by fwd and bwd (so a dropout mask block maps
+    identically in both directions): among Mosaic-legal blocks fitting the
+    VMEM budget, near-minimal zero-padding of the row axis first (N need not
+    divide the block — e.g. N=2500), then the largest block (fewest grid
+    programs).  None = no legal tiling (caller falls back to XLA)."""
+    if j > _MAX_CHUNK_LANES:
+        return None
+    fits = [nb for nb in _ATTN_ROW_BLOCKS
+            if max(_attn_tile_bytes(nb, j, dh, usize, has_mask, False),
+                   _attn_tile_bytes(nb, j, dh, usize, has_mask, True))
+            <= _VMEM_BUDGET]
+    if not fits:
+        return None
+    npad = {nb: -(-n // nb) * nb for nb in fits}
+    m = min(npad.values())
+    return max(nb for nb in fits if npad[nb] <= max(m * 1.03, m + 15))
+
+
+def fused_attention_supported(n: int, j: int, dh: int, usize: int = 2,
+                              has_mask: bool = True) -> bool:
+    return _pick_attn_rowblock(n, j, dh, usize, has_mask) is not None
+
+
+def fused_attention_padding(n: int, j: int, dh: int, usize: int = 2,
+                            has_mask: bool = True):
+    """Rows of zero-padding the fused kernel would add at this shape, or None
+    when no legal tiling exists.  Callers use this to route the forward-only
+    serving path: the pad copies (~0.5 ms on the 230 MB bias at N=2500) erase
+    the kernel's win when there is no backward to amortize them."""
+    nb = _pick_attn_rowblock(n, j, dh, usize, has_mask)
+    if nb is None:
+        return None
+    return (-(-n // nb) * nb) - n
+
+
+def _softmax_rows(q, k, bias):
+    """(nb, J) attention probabilities, f32, max-shifted like the module."""
+    sim = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    sim = sim + bias
+    sim = sim - jnp.max(sim, axis=1, keepdims=True)
+    p = jnp.exp(sim)
+    return p / jnp.sum(p, axis=1, keepdims=True)
+
+
+def _dropout_mult(mask_ref, seed_ref, shape, keep_inv: float, keep_prob: float):
+    """Per-element multiplier {0, 1/keep}: from an explicit {0,1} mask operand
+    (interpret-safe, exact-match testable) or from the on-chip PRNG seeded by
+    (key words, program ids) — bit-identical in fwd and bwd because both
+    directions share the same grid and row-block size."""
+    if mask_ref is not None:
+        return mask_ref[0].astype(jnp.float32) * keep_inv
+    # Mosaic caps prng_seed at 2 words: mix the linear program index into the
+    # key with distinct odd constants (wrapping int32 arithmetic)
+    pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + pid * jnp.int32(-1640531527),
+                    seed_ref[1] + pid * jnp.int32(-1028477379))
+    bits = pltpu.prng_random_bits(shape)                 # int32
+    u = (bits & 0x7FFFFF).astype(jnp.float32) * (1.0 / (1 << 23))
+    return jnp.where(u < keep_prob, keep_inv, 0.0)
+
+
+def _attn_fwd_kernel(*refs, keep_inv: float, keep_prob: float, has_mask: bool,
+                     has_seed: bool):
+    mask_ref = seed_ref = None
+    if has_mask:
+        q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref = refs
+    elif has_seed:
+        seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref = refs
+    else:
+        q_ref, k_ref, v_ref, bias_ref, out_ref = refs
+    attn = _softmax_rows(q_ref[0], k_ref[0], bias_ref[0])
+    if has_mask or has_seed:
+        attn = attn * _dropout_mult(mask_ref, seed_ref, attn.shape,
+                                    keep_inv, keep_prob)
+    out = jnp.dot(attn.astype(v_ref.dtype), v_ref[0],
+                  preferred_element_type=jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _attn_bwd_kernel(*refs, keep_inv: float, keep_prob: float, has_mask: bool,
+                     has_seed: bool):
+    mask_ref = seed_ref = None
+    if has_mask:
+        (q_ref, k_ref, v_ref, bias_ref, mask_ref, dout_ref,
+         dq_ref, dk_ref, dv_ref, dbias_ref) = refs
+    elif has_seed:
+        (seed_ref, q_ref, k_ref, v_ref, bias_ref, dout_ref,
+         dq_ref, dk_ref, dv_ref, dbias_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, bias_ref, dout_ref,
+         dq_ref, dk_ref, dv_ref, dbias_ref) = refs
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init_kv_grads():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    attn = _softmax_rows(q, k, bias_ref[0])                    # recompute
+    if has_mask or has_seed:
+        m = _dropout_mult(mask_ref, seed_ref, attn.shape, keep_inv, keep_prob)
+        attn_d = attn * m
+    else:
+        attn_d = attn
+    dout = dout_ref[0]
+
+    # out = attn_d @ v
+    dv_ref[0] += jax.lax.dot_general(attn_d.astype(v.dtype), dout,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dattn = jax.lax.dot_general(dout, v, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    if has_mask or has_seed:
+        dattn = dattn * m
+    # softmax vjp (max shift is stop-gradient)
+    dsim = attn * (dattn - jnp.sum(dattn * attn, axis=1, keepdims=True))
+    dbias_ref[0] = dsim.astype(dbias_ref.dtype)
+    dsim_c = dsim.astype(q.dtype)
+    dq_ref[0] = jnp.dot(dsim_c, k,
+                        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0] += jax.lax.dot_general(dsim_c, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+
+def _pad_rows(t, npad):
+    n = t.shape[1]
+    if n == npad:
+        return t
+    return jnp.pad(t, ((0, 0), (0, npad - n)) + ((0, 0),) * (t.ndim - 2))
+
+
+def _attn_inputs(q, k, v, bias, mask, seed, nb, npad):
+    """(operands, specs) for the shared input layout [seed?] q k v bias [mask?]
+    — padded on the row axis; k/v blocks are revisited across row programs."""
+    j = bias.shape[-1]
+    dh = q.shape[-1]
+    ins, specs = [], []
+    if seed is not None:
+        ins.append(seed)
+        specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    ins.append(_pad_rows(q, npad))
+    specs.append(pl.BlockSpec((1, nb, dh), lambda b, r: (b, r, 0),
+                              memory_space=pltpu.VMEM))
+    ins.extend([k, v])
+    specs.append(pl.BlockSpec((1, j, dh), lambda b, r: (b, 0, 0),
+                              memory_space=pltpu.VMEM))
+    specs.append(pl.BlockSpec((1, j, dh), lambda b, r: (b, 0, 0),
+                              memory_space=pltpu.VMEM))
+    ins.append(_pad_rows(bias, npad))
+    specs.append(pl.BlockSpec((1, nb, j), lambda b, r: (b, r, 0),
+                              memory_space=pltpu.VMEM))
+    if mask is not None:
+        ins.append(_pad_rows(mask, npad))
+        specs.append(pl.BlockSpec((1, nb, j), lambda b, r: (b, r, 0),
+                                  memory_space=pltpu.VMEM))
+    return ins, specs
+
+
+@functools.partial(jax.jit, static_argnames=("keep_prob", "interpret"))
+def _fused_attn_fwd_call(q, k, v, bias, mask, seed, keep_prob, interpret=False):
+    bg, n, dh = q.shape
+    j = k.shape[1]
+    usize = jnp.dtype(q.dtype).itemsize
+    nb = _pick_attn_rowblock(n, j, dh, usize, mask is not None)
+    assert nb is not None, "caller must check fused_attention_supported first"
+    npad = -(-n // nb) * nb
+    ins, in_specs = _attn_inputs(q, k, v, bias, mask, seed, nb, npad)
+    kernel = functools.partial(_attn_fwd_kernel, keep_inv=1.0 / keep_prob,
+                               keep_prob=keep_prob, has_mask=mask is not None,
+                               has_seed=seed is not None)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bg, npad // nb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, nb, dh), lambda b, r: (b, r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bg, npad, dh), q.dtype),
+        interpret=interpret,
+    )(*ins)
+    return out[:, :n] if npad != n else out
+
+
+@functools.partial(jax.jit, static_argnames=("keep_prob", "interpret"))
+def _fused_attn_bwd_call(q, k, v, bias, mask, seed, dout, keep_prob,
+                         interpret=False):
+    bg, n, dh = q.shape
+    j = k.shape[1]
+    usize = jnp.dtype(q.dtype).itemsize
+    nb = _pick_attn_rowblock(n, j, dh, usize, mask is not None)
+    assert nb is not None, "caller must check fused_attention_supported first"
+    npad = -(-n // nb) * nb
+    ins, in_specs = _attn_inputs(q, k, v, bias, mask, seed, nb, npad)
+    ins.append(_pad_rows(dout, npad))
+    in_specs.append(pl.BlockSpec((1, nb, dh), lambda b, r: (b, r, 0),
+                                 memory_space=pltpu.VMEM))
+    kernel = functools.partial(_attn_bwd_kernel, keep_inv=1.0 / keep_prob,
+                               keep_prob=keep_prob, has_mask=mask is not None,
+                               has_seed=seed is not None)
+    f32 = jnp.float32
+    dq, dk, dv, dbias = pl.pallas_call(
+        kernel,
+        grid=(bg, npad // nb),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, nb, dh), lambda b, r: (b, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, dh), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, dh), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, j), lambda b, r: (b, r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bg, npad, dh), q.dtype),   # dq
+            jax.ShapeDtypeStruct((bg, j, dh), f32),          # dk
+            jax.ShapeDtypeStruct((bg, j, dh), f32),          # dv
+            jax.ShapeDtypeStruct((bg, npad, j), f32),        # dbias
+        ],
+        interpret=interpret,
+    )(*ins)
+    if npad != n:
+        dq, dbias = dq[:, :n], dbias[:, :n]
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def deform_attention_trainable(q, k, v, bias, mask=None, seed=None,
+                               keep_prob=1.0, interpret=False):
+    """out (BG, N, dh) = dropout(softmax(q @ k^T + bias)) @ v, fused.
+
+    q (BG, N, dh) already scaled; k/v (BG, J, dh); bias (BG, N, J) f32 (the
+    CPB kernel's output reshaped — a free relayout).  Dropout comes from at
+    most one of: ``mask``, a {0, 1} float tensor (BG, N, J) of KEPT positions
+    (interpret-safe, exact), or ``seed``, a (2,) int32 key feeding the on-chip
+    PRNG (zero HBM traffic; TPU only).  Backward recomputes the chain (no
+    residuals) and returns exact grads for q, k, v, bias.
+    """
+    assert mask is None or seed is None
+    return _fused_attn_fwd_call(q, k, v, bias, mask, seed, keep_prob,
+                                interpret=interpret)
+
+
+def _deform_attn_fwd(q, k, v, bias, mask, seed, keep_prob, interpret):
+    out = _fused_attn_fwd_call(q, k, v, bias, mask, seed, keep_prob,
+                               interpret=interpret)
+    return out, (q, k, v, bias, mask, seed)
+
+
+def _deform_attn_bwd(keep_prob, interpret, res, dout):
+    q, k, v, bias, mask, seed = res
+    dq, dk, dv, dbias = _fused_attn_bwd_call(q, k, v, bias, mask, seed,
+                                             dout.astype(q.dtype), keep_prob,
+                                             interpret=interpret)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
+    return dq, dk, dv, dbias, dmask, dseed
+
+
+deform_attention_trainable.defvjp(_deform_attn_fwd, _deform_attn_bwd)
 
 
 def fused_bias_attention_weights(q, k, u, v, w1, b1, w2, b2, interpret=False):
