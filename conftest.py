@@ -9,6 +9,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # The environment pins JAX_PLATFORMS=axon (tunneled TPU); override to CPU for tests.
 # Must happen via config (sitecustomize re-registers the axon platform at startup).
+# SML_TPU_TESTS_ON_TPU=1 keeps the real backend so hardware-only tests
+# (tests/test_fused_attention_tpu.py) can run: they skip on CPU.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("SML_TPU_TESTS_ON_TPU"):
+    jax.config.update("jax_platforms", "cpu")
