@@ -196,16 +196,19 @@ def main():
 
     if has("nocpb"):
         # deform attention with the CPB zeroed: isolates qkv/offsets/grid-sample/
-        # attention cost
+        # attention cost.  flat_bias -> None also disables the fused epilogue so
+        # this measures the XLA chain + glue (the historical meaning).
         import sml_tpu.ops.deformable as dmod
 
         orig = dmod.CPB2D.__call__
+        orig_flat = dmod.CPB2D.flat_bias
 
         def zero_bias(self, x_coords, y_coords, grid_kv_, batch):
             return jnp.zeros((batch, self.heads, x_coords.shape[0] * y_coords.shape[0],
                               grid_kv_.shape[1]), jnp.float32)
 
         dmod.CPB2D.__call__ = zero_bias
+        dmod.CPB2D.flat_bias = lambda self, *a, **k: None
         try:
             model2 = define_net(config)
             eval_step2 = make_eval_step(config, model2)
@@ -221,6 +224,7 @@ def main():
             print("train_step_nocpb_ms", results["train_step_nocpb_ms"], flush=True)
         finally:
             dmod.CPB2D.__call__ = orig
+            dmod.CPB2D.flat_bias = orig_flat
 
     print(json.dumps(results))
 

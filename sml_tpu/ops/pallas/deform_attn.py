@@ -1,8 +1,18 @@
-"""Fused CPB (continuous-position-bias) Pallas kernels for deformable cross-attention.
+"""Fused Pallas kernels for deformable cross-attention: CPB bias + attention epilogue.
 
-The deformable attention's CPB MLP is the model's dominant cost (94% of a train step
-before optimization — see benchmarks/BENCH.md).  A custom-VJP pair of kernels keeps
-the (dim, lanes) layer activations VMEM-resident in BOTH directions:
+Two custom-VJP kernel pairs (reference semantics:
+``models/DeformableAttention2D.py:120-157`` for the CPB MLP and ``:306-311`` for
+the attention chain):
+
+1. ``cpb_bias_trainable`` — the continuous-position-bias MLP, the model's
+   dominant cost (94% of a train step before optimization);
+2. ``deform_attention_trainable`` (round 3b) — sim+softmax(+dropout)+attn@v
+   consuming the bias, so the (B, h, N, J) f32 chain never exists in HBM in
+   either direction (recompute backward; on-chip PRNG dropout in production,
+   exact {0,1} mask operand in interpret mode).
+
+The CPB pair keeps the (dim, lanes) layer activations VMEM-resident in BOTH
+directions:
 
 forward, per offset group / query-grid row-block / lane chunk:
     h1   = relu(u_chunk + tile(v_row, cw))   layer-1 from separable factor tables
