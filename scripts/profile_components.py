@@ -140,6 +140,56 @@ def main():
             lambda *a: gfn(*a)[0], (qh, kh, vh, bias_in), args.steps)
         print("attn_chain_fwdbwd_ms", results["attn_chain_fwdbwd_ms"], flush=True)
 
+    if has("gridsample"):
+        # grid-sample fwd+bwd at model shapes: (B*g, H, W, c/g) map, J points
+        from sml_tpu.ops.grid_sample import grid_sample_2d
+
+        bgg = b * g
+        img = jnp.asarray(rng.standard_normal((bgg, side, side, 128 // g)),
+                          jnp.bfloat16)
+        hd2 = side // 4
+        pts = jnp.asarray(rng.uniform(-1, 1, (bgg, hd2, hd2, 2)), jnp.float32)
+
+        def gs_loss(img_, pts_):
+            return jnp.sum(grid_sample_2d(img_, pts_).astype(jnp.float32) ** 2)
+
+        ggs = jax.jit(jax.grad(gs_loss, argnums=(0, 1)))
+        results["gridsample_fwdbwd_ms"] = timed(
+            lambda *a: ggs(*a)[0], (img, pts), args.steps)
+        print("gridsample_fwdbwd_ms", results["gridsample_fwdbwd_ms"], flush=True)
+
+    if has("offsets"):
+        # offset conv stack fwd+bwd: depthwise 6x6 stride-4 + gelu + 1x1 + tanh
+        from flax import linen as fnn
+        from sml_tpu.ops.common import torch_kernel_init
+
+        bgg = b * g
+        od = 512 // g                   # offset_dims = inner_dim / g
+        gq = jnp.asarray(rng.standard_normal((bgg, side, side, od)), jnp.bfloat16)
+
+        class Off(fnn.Module):
+            @fnn.compact
+            def __call__(self, x):
+                x = fnn.Conv(od, (6, 6), strides=(4, 4), padding=((1, 1), (1, 1)),
+                             feature_group_count=od, kernel_init=torch_kernel_init,
+                             dtype=jnp.bfloat16)(x)
+                x = fnn.gelu(x, approximate=False)
+                x = fnn.Conv(2, (1, 1), use_bias=False,
+                             kernel_init=torch_kernel_init,
+                             dtype=jnp.bfloat16)(x)
+                return jnp.tanh(x)
+
+        om = Off()
+        op = om.init(jax.random.PRNGKey(0), gq)
+
+        def off_loss(p, x):
+            return jnp.sum(om.apply(p, x).astype(jnp.float32) ** 2)
+
+        goff = jax.jit(jax.grad(off_loss, argnums=(0, 1)))
+        results["offsets_fwdbwd_ms"] = timed(
+            lambda *a: goff(*a)[1], (op, gq), args.steps)
+        print("offsets_fwdbwd_ms", results["offsets_fwdbwd_ms"], flush=True)
+
     if has("fusedattn"):
         # the fused attention-epilogue kernel alone (fwd+bwd), with and
         # without the dropout-mask operand, at model shapes

@@ -551,7 +551,8 @@ class DeformCrossAttention2D(nn.Module):
             group_queries=self.group_queries,
             group_key_values=self.group_key_values,
             cpb_query_chunk=self.cpb_query_chunk, dropout=self.dropout,
-            h=h, w=w, dtype=self.dtype)
+            h=h, w=w, use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret, dtype=self.dtype)
         if return_vgrid:
             return out, vgrid
         return out

@@ -44,6 +44,8 @@ def seq_parallel_deform_attn_2d(params: dict, x1_l: jnp.ndarray,
                                 cpb_query_chunk: int, dropout: float,
                                 h: int, w: int, use_mask: bool,
                                 axis_name: str = "seq", n_dev: int = 1,
+                                use_pallas: bool = False,
+                                pallas_interpret: bool = False,
                                 dtype=None):
     """Inside-shard_map body: x1_l/x2_l (b, n_local, c) are this device's
     contiguous row shards of the (h, w) query grid (n_local = (h/n_dev) * w)."""
@@ -134,23 +136,66 @@ def seq_parallel_deform_attn_2d(params: dict, x1_l: jnp.ndarray,
     y_local = lax.dynamic_slice_in_dim(y_full, idx * h_l, h_l, axis=0)
 
     # CPB for LOCAL query rows only — the separable tables take any y slice
-    cpb = CPB2D(dim // 4, heads=heads, offset_groups=g, impl="naive",
-                query_chunk=cpb_query_chunk, dtype=dtype)
-    bias = cpb.apply({"params": params["rel_pos_bias"]},
-                     x_axis, y_local, grid_kv, b)          # (b, heads, n_l, J)
+    cpb_impl = "pallas" if (use_pallas and heads == g) else "naive"
+    cpb = CPB2D(dim // 4, heads=heads, offset_groups=g, impl=cpb_impl,
+                query_chunk=cpb_query_chunk, dtype=dtype,
+                pallas_interpret=pallas_interpret)
 
-    sim = jnp.einsum("bhid,bhjd->bhij", qh, kh) + bias
-    sim = sim - lax.stop_gradient(sim.max(axis=-1, keepdims=True))
-    attn = nn.softmax(sim, axis=-1)
-    if dropout > 0.0 and rng is not None:
-        # per-shard stream (folded by shard index): valid dropout, not
-        # bit-identical to the single-device stream
-        keep = jax.random.bernoulli(jax.random.fold_in(rng, idx),
-                                    1.0 - dropout, attn.shape)
-        attn = jnp.where(keep, attn / (1.0 - dropout), 0.0)
-    out = jnp.einsum("bhij,bhjd->bhid", attn, vh)          # (b, heads, n_l, dh)
+    out_l = None
+    if cpb_impl == "pallas":
+        # per-shard Pallas kernels: the CPB bias and the fused attention
+        # epilogue run on the LOCAL row block (same gates as the
+        # single-device module; shapes shrink with the shard)
+        from sml_tpu.ops.pallas.deform_attn import (deform_attention_trainable,
+                                                    fused_attention_padding)
 
-    out = out.transpose(0, 2, 1, 3).reshape(b, h_l, w, inner)
+        j_kv = hd * wd
+        dropout_active = dropout > 0.0 and rng is not None
+        pad_rows = fused_attention_padding(n_l, j_kv, dim_head,
+                                           jnp.dtype(qh.dtype).itemsize,
+                                           dropout_active)
+        if pad_rows is not None:
+            flatb = cpb.apply({"params": params["rel_pos_bias"]},
+                              x_axis, y_local, grid_kv,
+                              method=CPB2D.flat_bias)    # (b*g, n_l, J) | None
+            if flatb is not None:
+                drop_mask = seed = None
+                keep = 1.0
+                if dropout_active:
+                    keep = 1.0 - dropout
+                    r_l = jax.random.fold_in(rng, idx)
+                    if pallas_interpret:
+                        drop_mask = jax.random.bernoulli(
+                            r_l, keep, (b * g, n_l, j_kv)).astype(qh.dtype)
+                    else:
+                        kd = (jax.random.key_data(r_l)
+                              if jnp.issubdtype(r_l.dtype, jax.dtypes.prng_key)
+                              else r_l)
+                        seed = lax.bitcast_convert_type(kd.reshape(2),
+                                                        jnp.int32)
+                qf = qh.reshape(b * heads, n_l, dim_head)
+                kf = kh.reshape(b * heads, j_kv, dim_head)
+                vf = vh.reshape(b * heads, j_kv, dim_head)
+                out_f = deform_attention_trainable(qf, kf, vf, flatb,
+                                                   drop_mask, seed, keep,
+                                                   pallas_interpret)
+                out_l = out_f.reshape(b, heads, n_l, dim_head)
+
+    if out_l is None:
+        bias = cpb.apply({"params": params["rel_pos_bias"]},
+                         x_axis, y_local, grid_kv, b)      # (b, heads, n_l, J)
+        sim = jnp.einsum("bhid,bhjd->bhij", qh, kh) + bias
+        sim = sim - lax.stop_gradient(sim.max(axis=-1, keepdims=True))
+        attn = nn.softmax(sim, axis=-1)
+        if dropout > 0.0 and rng is not None:
+            # per-shard stream (folded by shard index): valid dropout, not
+            # bit-identical to the single-device stream
+            keep = jax.random.bernoulli(jax.random.fold_in(rng, idx),
+                                        1.0 - dropout, attn.shape)
+            attn = jnp.where(keep, attn / (1.0 - dropout), 0.0)
+        out_l = jnp.einsum("bhij,bhjd->bhid", attn, vh)    # (b, heads, n_l, dh)
+
+    out = out_l.transpose(0, 2, 1, 3).reshape(b, h_l, w, inner)
     out = conv1x1(params["to_out"], dim, 1, True)(out)
     return out.reshape(b, n_l, dim), vgrid_l.reshape(b, g, hd_l, wd, 2)
 
@@ -187,5 +232,8 @@ def run_seq_parallel_deform2d(mesh: Mesh, params: dict, x1: jnp.ndarray,
     in_specs = (param_specs, P(b_ax, axis, None), P(b_ax, axis, None),
                 P(b_ax, axis), P())
     out_specs = (P(b_ax, axis, None), P(b_ax, None, axis, None, None))
+    # check_vma=False: pallas_call out_shapes carry no vma annotation, which
+    # the lint rejects inside shard_map (the body's collectives are explicit)
     return shard_map(body, mesh=mesh, in_specs=in_specs,
-                     out_specs=out_specs)(params, x1, x2, mask, rng)
+                     out_specs=out_specs,
+                     check_vma=False)(params, x1, x2, mask, rng)

@@ -93,3 +93,35 @@ def test_seq_deform_grads_match_single_device():
                      jax.tree_util.tree_leaves(g_seq)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3,
                                    atol=5e-4)
+
+
+def test_seq_deform_pallas_kernels_match_plain():
+    """Per-shard Pallas CPB + fused attention epilogue inside shard_map
+    (interpret mode) == the plain single-device module."""
+    rng = np.random.default_rng(3)
+    b, n, c = 1, 1024, 32
+    x1 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+
+    plain = _build(n)
+    variables = plain.init(jax.random.PRNGKey(0), x1, x2, deterministic=True)
+    ref = plain.apply(variables, x1, x2, deterministic=True)
+
+    sharded_pal = DeformCrossAttention2D(
+        dim=32, dim_head=8, heads=8, offset_groups=8, dropout=0.0,
+        cpb_query_chunk=128, seq_mesh=_mesh(), use_pallas=True,
+        pallas_interpret=True)
+    out = sharded_pal.apply(variables, x1, x2, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
+                               atol=2e-5)
+
+    def loss(params, mod):
+        o = mod.apply({"params": params}, x1, x2, deterministic=True)
+        return (o ** 2).sum()
+
+    g_ref = jax.grad(loss)(variables["params"], plain)
+    g_pal = jax.grad(loss)(variables["params"], sharded_pal)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_ref),
+                     jax.tree_util.tree_leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-3,
+                                   atol=5e-4)
