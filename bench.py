@@ -55,7 +55,7 @@ def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
             warmup: int = 3, compute_dtype: str = "bfloat16",
             task_type: str = "diag2021", mode: str = "deformpathomic",
             use_pallas: bool = True, device_loop: bool = False,
-            eval_only: bool = False) -> dict:
+            eval_only: bool = False, path_arch: str = "abmil") -> dict:
     import jax
 
     from __graft_entry__ import _example_batch
@@ -68,7 +68,7 @@ def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
     config = Config(mode=mode, fixdim=fixdim, batch_size=batch_size,
                     task_type=task_type, compute_dtype=compute_dtype,
                     gradient_modulate=True, return_vgrid=(mode == "deformpathomic"),
-                    use_pallas=use_pallas)
+                    use_pallas=use_pallas, path_arch=path_arch)
     mesh = make_mesh(config)
     n_chips = len(mesh.devices.reshape(-1))
 
@@ -219,6 +219,8 @@ def main():
     ap.add_argument("--mode", type=str, default="deformpathomic")
     ap.add_argument("--task", type=str, default="diag2021")
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--path_arch", type=str, default="abmil",
+                    help="path-mode backbone: abmil | transmil")
     ap.add_argument("--eval", dest="eval_only", action="store_true",
                     help="measure the serving path (jitted batched eval forward) "
                          "instead of the train step")
@@ -234,7 +236,7 @@ def main():
                      steps=args.steps, warmup=args.warmup,
                      compute_dtype=args.dtype, task_type=args.task, mode=args.mode,
                      use_pallas=not args.no_pallas, device_loop=args.device_loop,
-                     eval_only=args.eval_only)
+                     eval_only=args.eval_only, path_arch=args.path_arch)
 
     vs_baseline = 0.0
     baseline_kind = "none"

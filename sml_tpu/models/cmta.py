@@ -29,6 +29,8 @@ class TransformerP(nn.Module):
     feature_dim: int = 256
     dtype: Optional[jnp.dtype] = None
     seq_mesh: Optional[object] = None     # shard the (long) patch-token axis
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, deterministic: bool = False
@@ -45,9 +47,13 @@ class TransformerP(nn.Module):
         h = jnp.concatenate([jnp.tile(cls, (b, 1, 1)).astype(h.dtype), h], axis=1)
 
         h = TransLayer(self.feature_dim, dtype=self.dtype, seq_mesh=self.seq_mesh,
+                       use_pallas=self.use_pallas,
+                       pallas_interpret=self.pallas_interpret,
                        name="layer1")(h, deterministic=deterministic)
         h = PPEG(self.feature_dim, dtype=self.dtype, name="pos_layer")(h, side, side)
         h = TransLayer(self.feature_dim, dtype=self.dtype, seq_mesh=self.seq_mesh,
+                       use_pallas=self.use_pallas,
+                       pallas_interpret=self.pallas_interpret,
                        name="layer2")(h, deterministic=deterministic)
         h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
         return h[:, 0], h[:, 1:]
@@ -84,6 +90,8 @@ class CMTA(nn.Module):
     dtype: Optional[jnp.dtype] = None
     seq_mesh: Optional[object] = None     # seq-shards the pathomics branch only
                                           # (the genomics stream is ~5 tokens)
+    use_pallas: bool = False              # fused Nystrom chains in Transformer_P
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x_path: jnp.ndarray, x_omic: jnp.ndarray,
@@ -104,6 +112,8 @@ class CMTA(nn.Module):
         genomics = jnp.stack(h_omic, axis=1)                       # (B, G, d)
 
         p_enc_cls, p_tok = TransformerP(d, dtype=self.dtype, seq_mesh=self.seq_mesh,
+                                        use_pallas=self.use_pallas,
+                                        pallas_interpret=self.pallas_interpret,
                                         name="pathomics_encoder")(
             h_path, deterministic)
         g_enc_cls, g_tok = TransformerG(d, dtype=self.dtype, name="genomics_encoder")(
@@ -115,6 +125,8 @@ class CMTA(nn.Module):
             g_tok, p_tok, p_tok, deterministic=deterministic)
 
         p_dec_cls, _ = TransformerP(d, dtype=self.dtype, seq_mesh=self.seq_mesh,
+                                    use_pallas=self.use_pallas,
+                                    pallas_interpret=self.pallas_interpret,
                                     name="pathomics_decoder")(
             p_in_g, deterministic)
         g_dec_cls, _ = TransformerG(d, dtype=self.dtype, name="genomics_decoder")(

@@ -81,10 +81,13 @@ def define_net(config: Config) -> nn.Module:
     init_max = config.init_type == "max"
     dtype = _dtype(config)
     mode = config.mode
+    # the fused Pallas kernels only lower on real TPU backends
+    use_pallas = bool(config.use_pallas) and jax.default_backend() == "tpu"
     if mode == "path":
         if getattr(config, "path_arch", "abmil") == "transmil":
             return TransMIL(label_dim=config.label_dim, path_dim=config.path_dim,
-                            dtype=dtype, seq_mesh=_seq_mesh(config))
+                            dtype=dtype, seq_mesh=_seq_mesh(config),
+                            use_pallas=use_pallas)
         return ABMIL(label_dim=config.label_dim, path_dim=config.path_dim,
                      input_path_dim=config.input_path_dim, dtype=dtype)
     if mode == "omic":
@@ -105,10 +108,8 @@ def define_net(config: Config) -> nn.Module:
         return MCATSurv(label_dim=config.label_dim, dtype=dtype)
     if mode == "cmta":
         return CMTA(label_dim=config.label_dim, dtype=dtype,
-                    seq_mesh=_seq_mesh(config))
+                    seq_mesh=_seq_mesh(config), use_pallas=use_pallas)
     if mode == "deformpathomic":
-        # the fused Pallas eval kernel only lowers on real TPU backends
-        use_pallas = bool(config.use_pallas) and jax.default_backend() == "tpu"
         return DeformPathomicNet(
             use_pallas=use_pallas,
             label_dim=config.label_dim,

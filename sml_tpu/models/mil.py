@@ -79,6 +79,8 @@ class TransLayer(nn.Module):
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None
     seq_mesh: Optional[object] = None     # (data, seq) Mesh for token-axis sharding
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = False,
@@ -87,7 +89,8 @@ class TransLayer(nn.Module):
         y = NystromAttention(dim=self.dim, dim_head=self.dim // 8, heads=8,
                              num_landmarks=self.dim // 2, pinv_iterations=6,
                              residual=True, dropout=self.dropout, dtype=self.dtype,
-                             seq_mesh=self.seq_mesh,
+                             seq_mesh=self.seq_mesh, use_pallas=self.use_pallas,
+                             pallas_interpret=self.pallas_interpret,
                              name="attn")(y, mask=mask, deterministic=deterministic)
         return x + y
 
@@ -98,6 +101,8 @@ class TransMIL(nn.Module):
     hidden_dim: int = 512
     dtype: Optional[jnp.dtype] = None
     seq_mesh: Optional[object] = None
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x_path: jnp.ndarray, deterministic: bool = False,
@@ -120,9 +125,13 @@ class TransMIL(nn.Module):
             mask = jnp.concatenate([jnp.ones((b, 1), bool), mask], axis=1)
 
         h = TransLayer(self.hidden_dim, dtype=self.dtype, seq_mesh=self.seq_mesh,
+                       use_pallas=self.use_pallas,
+                       pallas_interpret=self.pallas_interpret,
                        name="layer1")(h, deterministic=deterministic, mask=mask)
         h = PPEG(self.hidden_dim, dtype=self.dtype, name="pos_layer")(h, side, side)
         h = TransLayer(self.hidden_dim, dtype=self.dtype, seq_mesh=self.seq_mesh,
+                       use_pallas=self.use_pallas,
+                       pallas_interpret=self.pallas_interpret,
                        name="layer2")(h, deterministic=deterministic, mask=mask)
 
         h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)[:, 0]

@@ -26,6 +26,26 @@ from sml_tpu.ops.linear_algebra import moore_penrose_pinv
 _NEG_INF = -3.4028234663852886e38  # -finfo(f32).max, matching torch's mask fill value
 
 
+def _fused_chains_supported(n_pad: int, m: int, dh: int, dtype) -> bool:
+    """Both Nystrom chains have a legal fused-kernel tiling: chain 3
+    (m query rows over n_pad key lanes) and chain 1 (n_pad rows over m lanes).
+    Lane dims must be Mosaic-legal when they are a BLOCK of a larger array —
+    here each chain's lane dim equals its array dim, so only VMEM capacity and
+    the %8 sublane rule on the k/v blocks bind."""
+    from sml_tpu.ops.pallas.deform_attn import fused_attention_supported
+    usize = jnp.dtype(dtype).itemsize
+    if n_pad % 8 or m % 8:
+        return False
+    if n_pad < 4 * m:
+        # short sequences (e.g. the ~5-token genomics stream): the chains are
+        # KB-sized, XLA fuses them fine, kernel dispatch would dominate
+        return False
+    return (fused_attention_supported(m, n_pad, dh, usize, has_mask=False,
+                                      has_bias=False)
+            and fused_attention_supported(n_pad, m, dh, usize, has_mask=False,
+                                          has_bias=False))
+
+
 class _DenseParams(nn.Module):
     """Registers a Dense-shaped param subtree ({kernel[, bias]}) without computing;
     lets the sequence-parallel path own the matmuls inside shard_map while keeping
@@ -54,6 +74,8 @@ class NystromAttention(nn.Module):
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
     seq_mesh: Optional[object] = None     # (data, seq) Mesh: shard the token axis
+    use_pallas: bool = False              # fuse the two N-sized softmax chains
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
@@ -108,25 +130,44 @@ class NystromAttention(nn.Module):
         q_l = q_l / divisor
         k_l = k_l / divisor
 
-        sim1 = jnp.einsum("bhid,bhjd->bhij", q, k_l)    # (b, h, n, m)
         sim2 = jnp.einsum("bhid,bhjd->bhij", q_l, k_l)  # (b, h, m, m)
-        sim3 = jnp.einsum("bhid,bhjd->bhij", q_l, k)    # (b, h, m, n)
-
         if mask is not None:
-            mq = mask[:, None, :, None]                  # (b,1,n,1)
             ml = mask_landmarks[:, None, :, None]        # (b,1,m,1)
             mlT = mask_landmarks[:, None, None, :]       # (b,1,1,m)
-            mkT = mask[:, None, None, :]                 # (b,1,1,n)
-            sim1 = jnp.where(mq & mlT, sim1, _NEG_INF)
             sim2 = jnp.where(ml & mlT, sim2, _NEG_INF)
-            sim3 = jnp.where(ml & mkT, sim3, _NEG_INF)
-
-        attn1 = nn.softmax(sim1, axis=-1)
         attn2 = nn.softmax(sim2, axis=-1)
-        attn3 = nn.softmax(sim3, axis=-1)
         attn2_inv = moore_penrose_pinv(attn2, self.pinv_iterations)
 
-        out = (attn1 @ attn2_inv) @ (attn3 @ v)          # (b, h, n, d)
+        if (self.use_pallas and mask is None and not return_attn
+                and _fused_chains_supported(n_pad, m, self.dim_head, q.dtype)):
+            # fuse the two N-sized softmax chains (attn1, attn3) in VMEM: the
+            # (b, h, n, m) probability tensors and the (n, m) @ (m, m) f32
+            # product never exist in HBM in either direction.  Association is
+            # attn1 @ (pinv @ (attn3 @ v)) — same math as the module's
+            # (attn1 @ pinv) @ (attn3 @ v), fewer N-sized matmuls.
+            from sml_tpu.ops.pallas.deform_attn import deform_attention_trainable
+            bg, dh = b * h, self.dim_head
+            x3 = deform_attention_trainable(                 # softmax(q_l k^T) v
+                q_l.reshape(bg, m, dh), k.reshape(bg, n_pad, dh),
+                v.reshape(bg, n_pad, dh), None, None, None, 1.0,
+                self.pallas_interpret)                       # (bg, m, dh)
+            z = attn2_inv @ x3.reshape(b, h, m, dh).astype(attn2_inv.dtype)
+            out = deform_attention_trainable(                # softmax(q k_l^T) z
+                q.reshape(bg, n_pad, dh), k_l.reshape(bg, m, dh),
+                z.reshape(bg, m, dh).astype(q.dtype), None, None, None, 1.0,
+                self.pallas_interpret)
+            out = out.reshape(b, h, n_pad, dh)
+        else:
+            sim1 = jnp.einsum("bhid,bhjd->bhij", q, k_l)    # (b, h, n, m)
+            sim3 = jnp.einsum("bhid,bhjd->bhij", q_l, k)    # (b, h, m, n)
+            if mask is not None:
+                mq = mask[:, None, :, None]                  # (b,1,n,1)
+                mkT = mask[:, None, None, :]                 # (b,1,1,n)
+                sim1 = jnp.where(mq & mlT, sim1, _NEG_INF)
+                sim3 = jnp.where(ml & mkT, sim3, _NEG_INF)
+            attn1 = nn.softmax(sim1, axis=-1)
+            attn3 = nn.softmax(sim3, axis=-1)
+            out = (attn1 @ attn2_inv) @ (attn3 @ v)          # (b, h, n, d)
         out = out.transpose(0, 2, 1, 3).reshape(b, n_pad, inner_dim)
 
         if self.residual:

@@ -393,8 +393,8 @@ _ATTN_ROW_BLOCKS = (1024, 512, 256, 128, 64, 32, 16)
 
 
 def _attn_tile_bytes(nb: int, j: int, dh: int, usize: int, has_mask: bool,
-                     bwd: bool) -> int:
-    bias2 = 2 * nb * j * 4
+                     bwd: bool, has_bias: bool = True) -> int:
+    bias2 = 2 * nb * j * 4 if has_bias else 0
     q2 = 2 * nb * dh * usize
     kv2 = 2 * 2 * j * dh * usize
     mask2 = 2 * nb * j * usize if has_mask else 0
@@ -406,7 +406,8 @@ def _attn_tile_bytes(nb: int, j: int, dh: int, usize: int, has_mask: bool,
     return 2 * bias2 + 3 * q2 + kv2 + mask2 + acc + temps
 
 
-def _pick_attn_rowblock(n: int, j: int, dh: int, usize: int, has_mask: bool):
+def _pick_attn_rowblock(n: int, j: int, dh: int, usize: int, has_mask: bool,
+                        has_bias: bool = True):
     """Row block shared by fwd and bwd (so a dropout mask block maps
     identically in both directions): among Mosaic-legal blocks fitting the
     VMEM budget, near-minimal zero-padding of the row axis first (N need not
@@ -415,8 +416,8 @@ def _pick_attn_rowblock(n: int, j: int, dh: int, usize: int, has_mask: bool):
     if j > _MAX_CHUNK_LANES:
         return None
     fits = [nb for nb in _ATTN_ROW_BLOCKS
-            if max(_attn_tile_bytes(nb, j, dh, usize, has_mask, False),
-                   _attn_tile_bytes(nb, j, dh, usize, has_mask, True))
+            if max(_attn_tile_bytes(nb, j, dh, usize, has_mask, False, has_bias),
+                   _attn_tile_bytes(nb, j, dh, usize, has_mask, True, has_bias))
             <= _VMEM_BUDGET]
     if not fits:
         return None
@@ -426,27 +427,30 @@ def _pick_attn_rowblock(n: int, j: int, dh: int, usize: int, has_mask: bool):
 
 
 def fused_attention_supported(n: int, j: int, dh: int, usize: int = 2,
-                              has_mask: bool = True) -> bool:
-    return _pick_attn_rowblock(n, j, dh, usize, has_mask) is not None
+                              has_mask: bool = True,
+                              has_bias: bool = True) -> bool:
+    return _pick_attn_rowblock(n, j, dh, usize, has_mask, has_bias) is not None
 
 
 def fused_attention_padding(n: int, j: int, dh: int, usize: int = 2,
-                            has_mask: bool = True):
+                            has_mask: bool = True, has_bias: bool = True):
     """Rows of zero-padding the fused kernel would add at this shape, or None
     when no legal tiling exists.  Callers use this to route the forward-only
     serving path: the pad copies (~0.5 ms on the 230 MB bias at N=2500) erase
     the kernel's win when there is no backward to amortize them."""
-    nb = _pick_attn_rowblock(n, j, dh, usize, has_mask)
+    nb = _pick_attn_rowblock(n, j, dh, usize, has_mask, has_bias)
     if nb is None:
         return None
     return (-(-n // nb) * nb) - n
 
 
 def _softmax_rows(q, k, bias):
-    """(nb, J) attention probabilities, f32, max-shifted like the module."""
+    """(nb, J) attention probabilities, f32, max-shifted like the module.
+    ``bias`` may be None (pure softmax attention, e.g. the Nystrom chains)."""
     sim = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    sim = sim + bias
+    if bias is not None:
+        sim = sim + bias
     sim = sim - jnp.max(sim, axis=1, keepdims=True)
     p = jnp.exp(sim)
     return p / jnp.sum(p, axis=1, keepdims=True)
@@ -470,15 +474,16 @@ def _dropout_mult(mask_ref, seed_ref, shape, keep_inv: float, keep_prob: float):
 
 
 def _attn_fwd_kernel(*refs, keep_inv: float, keep_prob: float, has_mask: bool,
-                     has_seed: bool):
-    mask_ref = seed_ref = None
-    if has_mask:
-        q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref = refs
-    elif has_seed:
-        seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref = refs
-    else:
-        q_ref, k_ref, v_ref, bias_ref, out_ref = refs
-    attn = _softmax_rows(q_ref[0], k_ref[0], bias_ref[0])
+                     has_seed: bool, has_bias: bool = True):
+    refs = list(refs)
+    seed_ref = refs.pop(0) if has_seed else None
+    q_ref, k_ref, v_ref = refs[:3]
+    refs = refs[3:]
+    bias_ref = refs.pop(0) if has_bias else None
+    mask_ref = refs.pop(0) if has_mask else None
+    out_ref = refs.pop(0)
+    attn = _softmax_rows(q_ref[0], k_ref[0],
+                         bias_ref[0] if has_bias else None)
     if has_mask or has_seed:
         attn = attn * _dropout_mult(mask_ref, seed_ref, attn.shape,
                                     keep_inv, keep_prob)
@@ -488,17 +493,15 @@ def _attn_fwd_kernel(*refs, keep_inv: float, keep_prob: float, has_mask: bool,
 
 
 def _attn_bwd_kernel(*refs, keep_inv: float, keep_prob: float, has_mask: bool,
-                     has_seed: bool):
-    mask_ref = seed_ref = None
-    if has_mask:
-        (q_ref, k_ref, v_ref, bias_ref, mask_ref, dout_ref,
-         dq_ref, dk_ref, dv_ref, dbias_ref) = refs
-    elif has_seed:
-        (seed_ref, q_ref, k_ref, v_ref, bias_ref, dout_ref,
-         dq_ref, dk_ref, dv_ref, dbias_ref) = refs
-    else:
-        (q_ref, k_ref, v_ref, bias_ref, dout_ref,
-         dq_ref, dk_ref, dv_ref, dbias_ref) = refs
+                     has_seed: bool, has_bias: bool = True):
+    refs = list(refs)
+    seed_ref = refs.pop(0) if has_seed else None
+    q_ref, k_ref, v_ref = refs[:3]
+    refs = refs[3:]
+    bias_ref = refs.pop(0) if has_bias else None
+    mask_ref = refs.pop(0) if has_mask else None
+    dout_ref, dq_ref, dk_ref, dv_ref = refs[:4]
+    dbias_ref = refs[4] if has_bias else None
 
     @pl.when(pl.program_id(1) == 0)
     def _init_kv_grads():
@@ -506,7 +509,7 @@ def _attn_bwd_kernel(*refs, keep_inv: float, keep_prob: float, has_mask: bool,
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
-    attn = _softmax_rows(q, k, bias_ref[0])                    # recompute
+    attn = _softmax_rows(q, k, bias_ref[0] if has_bias else None)  # recompute
     if has_mask or has_seed:
         m = _dropout_mult(mask_ref, seed_ref, attn.shape, keep_inv, keep_prob)
         attn_d = attn * m
@@ -524,7 +527,8 @@ def _attn_bwd_kernel(*refs, keep_inv: float, keep_prob: float, has_mask: bool,
         dattn = dattn * m
     # softmax vjp (max shift is stop-gradient)
     dsim = attn * (dattn - jnp.sum(dattn * attn, axis=1, keepdims=True))
-    dbias_ref[0] = dsim.astype(dbias_ref.dtype)
+    if has_bias:
+        dbias_ref[0] = dsim.astype(dbias_ref.dtype)
     dsim_c = dsim.astype(q.dtype)
     dq_ref[0] = jnp.dot(dsim_c, k,
                         preferred_element_type=jnp.float32).astype(dq_ref.dtype)
@@ -540,9 +544,10 @@ def _pad_rows(t, npad):
 
 
 def _attn_inputs(q, k, v, bias, mask, seed, nb, npad):
-    """(operands, specs) for the shared input layout [seed?] q k v bias [mask?]
-    — padded on the row axis; k/v blocks are revisited across row programs."""
-    j = bias.shape[-1]
+    """(operands, specs) for the shared input layout [seed?] q k v [bias?]
+    [mask?] — padded on the row axis; k/v blocks are revisited across row
+    programs.  ``bias=None`` = pure softmax attention (no bias operand)."""
+    j = k.shape[1]
     dh = q.shape[-1]
     ins, specs = [], []
     if seed is not None:
@@ -556,9 +561,10 @@ def _attn_inputs(q, k, v, bias, mask, seed, nb, npad):
                               memory_space=pltpu.VMEM))
     specs.append(pl.BlockSpec((1, j, dh), lambda b, r: (b, 0, 0),
                               memory_space=pltpu.VMEM))
-    ins.append(_pad_rows(bias, npad))
-    specs.append(pl.BlockSpec((1, nb, j), lambda b, r: (b, r, 0),
-                              memory_space=pltpu.VMEM))
+    if bias is not None:
+        ins.append(_pad_rows(bias, npad))
+        specs.append(pl.BlockSpec((1, nb, j), lambda b, r: (b, r, 0),
+                                  memory_space=pltpu.VMEM))
     if mask is not None:
         ins.append(_pad_rows(mask, npad))
         specs.append(pl.BlockSpec((1, nb, j), lambda b, r: (b, r, 0),
@@ -571,13 +577,15 @@ def _fused_attn_fwd_call(q, k, v, bias, mask, seed, keep_prob, interpret=False):
     bg, n, dh = q.shape
     j = k.shape[1]
     usize = jnp.dtype(q.dtype).itemsize
-    nb = _pick_attn_rowblock(n, j, dh, usize, mask is not None)
+    nb = _pick_attn_rowblock(n, j, dh, usize, mask is not None,
+                             bias is not None)
     assert nb is not None, "caller must check fused_attention_supported first"
     npad = -(-n // nb) * nb
     ins, in_specs = _attn_inputs(q, k, v, bias, mask, seed, nb, npad)
     kernel = functools.partial(_attn_fwd_kernel, keep_inv=1.0 / keep_prob,
                                keep_prob=keep_prob, has_mask=mask is not None,
-                               has_seed=seed is not None)
+                               has_seed=seed is not None,
+                               has_bias=bias is not None)
     out = pl.pallas_call(
         kernel,
         grid=(bg, npad // nb),
@@ -596,7 +604,8 @@ def _fused_attn_bwd_call(q, k, v, bias, mask, seed, dout, keep_prob,
     bg, n, dh = q.shape
     j = k.shape[1]
     usize = jnp.dtype(q.dtype).itemsize
-    nb = _pick_attn_rowblock(n, j, dh, usize, mask is not None)
+    has_bias = bias is not None
+    nb = _pick_attn_rowblock(n, j, dh, usize, mask is not None, has_bias)
     assert nb is not None, "caller must check fused_attention_supported first"
     npad = -(-n // nb) * nb
     ins, in_specs = _attn_inputs(q, k, v, bias, mask, seed, nb, npad)
@@ -605,32 +614,39 @@ def _fused_attn_bwd_call(q, k, v, bias, mask, seed, dout, keep_prob,
                                  memory_space=pltpu.VMEM))
     kernel = functools.partial(_attn_bwd_kernel, keep_inv=1.0 / keep_prob,
                                keep_prob=keep_prob, has_mask=mask is not None,
-                               has_seed=seed is not None)
+                               has_seed=seed is not None, has_bias=has_bias)
     f32 = jnp.float32
-    dq, dk, dv, dbias = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, nb, dh), lambda b, r: (b, r, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, j, dh), lambda b, r: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, j, dh), lambda b, r: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bg, npad, dh), q.dtype),   # dq
+        jax.ShapeDtypeStruct((bg, j, dh), f32),          # dk
+        jax.ShapeDtypeStruct((bg, j, dh), f32),          # dv
+    ]
+    if has_bias:
+        out_specs.append(pl.BlockSpec((1, nb, j), lambda b, r: (b, r, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((bg, npad, j), f32))  # dbias
+    outs = pl.pallas_call(
         kernel,
         grid=(bg, npad // nb),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, nb, dh), lambda b, r: (b, r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, j, dh), lambda b, r: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, j, dh), lambda b, r: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb, j), lambda b, r: (b, r, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bg, npad, dh), q.dtype),   # dq
-            jax.ShapeDtypeStruct((bg, j, dh), f32),          # dk
-            jax.ShapeDtypeStruct((bg, j, dh), f32),          # dv
-            jax.ShapeDtypeStruct((bg, npad, j), f32),        # dbias
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*ins)
+    dq, dk, dv = outs[:3]
+    dbias = outs[3] if has_bias else None
     if npad != n:
-        dq, dbias = dq[:, :n], dbias[:, :n]
+        dq = dq[:, :n]
+        if has_bias:
+            dbias = dbias[:, :n]
     return dq, dk.astype(k.dtype), dv.astype(v.dtype), dbias
 
 
@@ -640,11 +656,13 @@ def deform_attention_trainable(q, k, v, bias, mask=None, seed=None,
     """out (BG, N, dh) = dropout(softmax(q @ k^T + bias)) @ v, fused.
 
     q (BG, N, dh) already scaled; k/v (BG, J, dh); bias (BG, N, J) f32 (the
-    CPB kernel's output reshaped — a free relayout).  Dropout comes from at
-    most one of: ``mask``, a {0, 1} float tensor (BG, N, J) of KEPT positions
-    (interpret-safe, exact), or ``seed``, a (2,) int32 key feeding the on-chip
-    PRNG (zero HBM traffic; TPU only).  Backward recomputes the chain (no
-    residuals) and returns exact grads for q, k, v, bias.
+    CPB kernel's output reshaped — a free relayout) or None for pure softmax
+    attention (the Nystrom landmark chains use this: no bias operand, no
+    dbias output).  Dropout comes from at most one of: ``mask``, a {0, 1}
+    float tensor (BG, N, J) of KEPT positions (interpret-safe, exact), or
+    ``seed``, a (2,) int32 key feeding the on-chip PRNG (zero HBM traffic;
+    TPU only).  Backward recomputes the chain (no residuals) and returns
+    exact grads for q, k, v (and bias when given).
     """
     assert mask is None or seed is None
     return _fused_attn_fwd_call(q, k, v, bias, mask, seed, keep_prob,
@@ -662,6 +680,7 @@ def _deform_attn_bwd(keep_prob, interpret, res, dout):
     dq, dk, dv, dbias = _fused_attn_bwd_call(q, k, v, bias, mask, seed,
                                              dout.astype(q.dtype), keep_prob,
                                              interpret=interpret)
+    # dbias is already None when bias is None (no bias operand in the kernel)
     dmask = None if mask is None else jnp.zeros_like(mask)
     dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
     return dq, dk, dv, dbias, dmask, dseed

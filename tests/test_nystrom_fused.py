@@ -1,0 +1,81 @@
+"""Fused Nystrom attention chains (Pallas, interpret mode on CPU).
+
+The two N-sized softmax chains (attn1 = softmax(q k_l^T), attn3 =
+softmax(q_l k^T)) route through the bias-less ``deform_attention_trainable``
+kernel pair when ``use_pallas`` is set (``ops/nystrom.py``).  Values and
+gradients must match the XLA formulation; masked / tiny-N / return_attn
+inputs must keep the XLA path.  Reference semantics:
+``models/NystromAttention.py:39-157``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sml_tpu.ops.nystrom import NystromAttention, _fused_chains_supported
+
+KW = dict(dim=64, dim_head=16, heads=4, num_landmarks=32, pinv_iterations=6,
+          residual=True, dropout=0.0)
+
+
+def _pair(**overrides):
+    kw = {**KW, **overrides}
+    ref = NystromAttention(**kw)
+    fused = NystromAttention(**kw, use_pallas=True, pallas_interpret=True)
+    return ref, fused
+
+
+def test_fused_matches_xla_outputs_and_grads():
+    b, n = 2, 520                       # n % m != 0: exercises the front pad
+    ref, fused = _pair()
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, n, KW["dim"]), jnp.float32)
+    params = ref.init(jax.random.PRNGKey(0), x, deterministic=True)
+
+    o_ref = ref.apply(params, x, deterministic=True)
+    o_fused = fused.apply(params, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(o_fused), np.asarray(o_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(mod):
+        return lambda p, x: (mod.apply(p, x, deterministic=True) ** 2).sum()
+
+    g_ref, gx_ref = jax.grad(loss(ref), argnums=(0, 1))(params, x)
+    g_fused, gx_fused = jax.grad(loss(fused), argnums=(0, 1))(params, x)
+    for a, c in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_fused), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_masked_call_keeps_xla_path_and_matches():
+    # mask is not None -> the gate keeps the XLA formulation; the module must
+    # still be exactly the reference masked math
+    b, n = 2, 200
+    ref, fused = _pair()
+    x = jax.random.normal(jax.random.PRNGKey(2), (b, n, KW["dim"]), jnp.float32)
+    mask = jnp.arange(n)[None, :] < jnp.array([[150], [200]])
+    params = ref.init(jax.random.PRNGKey(0), x, deterministic=True)
+    o_ref = ref.apply(params, x, mask=mask, deterministic=True)
+    o_fused = fused.apply(params, x, mask=mask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(o_fused), np.asarray(o_ref),
+                               rtol=0, atol=0)   # identical code path
+
+
+def test_gate_rejects_tiny_and_misaligned():
+    assert _fused_chains_supported(1024, 32, 16, jnp.float32)
+    assert not _fused_chains_supported(64, 32, 16, jnp.float32)    # n < 4m
+    assert not _fused_chains_supported(1028, 32, 16, jnp.float32)  # n % 8
+    # n_pad is always a multiple of m in the module, so the %8 case only
+    # guards direct callers
+
+
+def test_return_attn_keeps_xla_path():
+    b, n = 1, 256
+    _, fused = _pair()
+    x = jax.random.normal(jax.random.PRNGKey(3), (b, n, KW["dim"]), jnp.float32)
+    params = fused.init(jax.random.PRNGKey(0), x, deterministic=True)
+    out, attn = fused.apply(params, x, deterministic=True, return_attn=True)
+    assert attn.shape == (b, KW["heads"], n, n)
