@@ -232,11 +232,26 @@ def main():
     ap.add_argument("--full", action="store_true", help="print full result dict")
     args = ap.parse_args()
 
-    result = measure(batch_size=args.batch_size, fixdim=args.fixdim,
-                     steps=args.steps, warmup=args.warmup,
-                     compute_dtype=args.dtype, task_type=args.task, mode=args.mode,
-                     use_pallas=not args.no_pallas, device_loop=args.device_loop,
-                     eval_only=args.eval_only, path_arch=args.path_arch)
+    # The axon tunnel occasionally reports the backend UNAVAILABLE for a few
+    # minutes; a failed backend init poisons the process-wide JAX client, so
+    # retries must be fresh processes.  Re-exec once rather than crash without
+    # emitting the JSON line.
+    try:
+        result = measure(batch_size=args.batch_size, fixdim=args.fixdim,
+                         steps=args.steps, warmup=args.warmup,
+                         compute_dtype=args.dtype, task_type=args.task,
+                         mode=args.mode, use_pallas=not args.no_pallas,
+                         device_loop=args.device_loop, eval_only=args.eval_only,
+                         path_arch=args.path_arch)
+    except RuntimeError as e:
+        if "UNAVAILABLE" not in str(e) or os.environ.get("SML_TPU_BENCH_RETRY"):
+            raise
+        import subprocess
+        import sys
+        time.sleep(120)
+        os.environ["SML_TPU_BENCH_RETRY"] = "1"
+        raise SystemExit(subprocess.call([sys.executable] + sys.argv,
+                                         env=os.environ))
 
     vs_baseline = 0.0
     baseline_kind = "none"
