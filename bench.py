@@ -55,12 +55,14 @@ def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
             warmup: int = 3, compute_dtype: str = "bfloat16",
             task_type: str = "diag2021", mode: str = "deformpathomic",
             use_pallas: bool = True, device_loop: bool = False,
-            eval_only: bool = False, path_arch: str = "abmil") -> dict:
+            eval_only: bool = False, path_arch: str = "abmil",
+            mask_frac: float = 1.0) -> dict:
     import jax
 
     from __graft_entry__ import _example_batch
     from sml_tpu.config import Config
-    from sml_tpu.models.factory import define_net, define_optimizer, init_model
+    from sml_tpu.models.factory import (MASKABLE_MODES, define_net,
+                                        define_optimizer, init_model)
     from sml_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
     from sml_tpu.train.state import TrainState
     from sml_tpu.train.steps import make_eval_step, make_train_step
@@ -74,6 +76,18 @@ def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
 
     model = define_net(config)
     batch = _example_batch(config, batch_size)
+    if mask_frac < 1.0:
+        # bucketed-bag shape: suffix validity masks (the production masked
+        # path — data/bucketing.py), valid counts staggered around the target
+        # fraction so bags differ like a real bucket
+        assert mode in MASKABLE_MODES, \
+            f"--mask_frac applies to maskable modes {MASKABLE_MODES}"
+        import numpy as _np
+        counts = (_np.linspace(0.9, 1.1, batch_size) * mask_frac
+                  * fixdim).astype(_np.int32).clip(1, fixdim)
+        import jax.numpy as _jnp
+        batch["mask"] = _jnp.asarray(
+            _np.arange(fixdim)[None, :] < counts[:, None])
     variables = init_model(config, model, jax.random.PRNGKey(0), batch)
     tx = define_optimizer(config, steps_per_epoch=100)
     state = TrainState.create(variables, tx, jax.random.PRNGKey(1))
@@ -230,6 +244,9 @@ def main():
     ap.add_argument("--host_loop", dest="device_loop", action="store_false",
                     help="dispatch each step from the host instead")
     ap.add_argument("--full", action="store_true", help="print full result dict")
+    ap.add_argument("--mask_frac", type=float, default=1.0,
+                    help="<1.0 adds suffix validity masks (bucketed-bag path) "
+                         "with ~frac of each bag valid; maskable modes only")
     args = ap.parse_args()
 
     # The axon tunnel occasionally reports the backend UNAVAILABLE for a few
@@ -242,7 +259,7 @@ def main():
                          compute_dtype=args.dtype, task_type=args.task,
                          mode=args.mode, use_pallas=not args.no_pallas,
                          device_loop=args.device_loop, eval_only=args.eval_only,
-                         path_arch=args.path_arch)
+                         path_arch=args.path_arch, mask_frac=args.mask_frac)
     except RuntimeError as e:
         if "UNAVAILABLE" not in str(e) or os.environ.get("SML_TPU_BENCH_RETRY"):
             raise
@@ -288,6 +305,8 @@ def main():
         break
 
     kind = "eval" if args.eval_only else "train"
+    if args.mask_frac < 1.0:
+        kind = f"masked{int(100 * args.mask_frac)}_{kind}"
     line = {"metric": f"{args.mode}_{kind}_bags_per_sec_per_chip",
             "value": round(result["bags_per_sec_per_chip"], 3),
             "unit": "bags/s/chip",

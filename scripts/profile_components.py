@@ -205,8 +205,9 @@ def main():
             (rng.uniform(size=(bgf, n, j)) < 0.9), jnp.bfloat16)
 
         def floss(q_, k_, v_, b_, m_):
-            o = deform_attention_trainable(q_, k_, v_, b_, m_,
-                                           0.9 if m_ is not None else 1.0)
+            o = deform_attention_trainable(
+                q_, k_, v_, b_, m_,
+                keep_prob=0.9 if m_ is not None else 1.0)
             return jnp.sum(o.astype(jnp.float32) ** 2)
 
         g_nomask = jax.jit(jax.grad(lambda q_, k_, v_, b_:

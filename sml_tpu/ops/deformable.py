@@ -489,7 +489,7 @@ class DeformCrossAttention2D(nn.Module):
                     kf = kh.reshape(b * heads, j_kv, self.dim_head)
                     vf = vh.reshape(b * heads, j_kv, self.dim_head)
                     out_f = deform_attention_trainable(
-                        qf, kf, vf, flatb, drop_mask, seed, keep,
+                        qf, kf, vf, flatb, drop_mask, seed, None, keep,
                         self.pallas_interpret)
                     out_h = out_f.reshape(b, heads, n, self.dim_head)
 

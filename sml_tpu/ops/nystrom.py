@@ -26,7 +26,8 @@ from sml_tpu.ops.linear_algebra import moore_penrose_pinv
 _NEG_INF = -3.4028234663852886e38  # -finfo(f32).max, matching torch's mask fill value
 
 
-def _fused_chains_supported(n_pad: int, m: int, dh: int, dtype) -> bool:
+def _fused_chains_supported(n_pad: int, m: int, dh: int, dtype,
+                            has_span: bool = False) -> bool:
     """Both Nystrom chains have a legal fused-kernel tiling: chain 3
     (m query rows over n_pad key lanes) and chain 1 (n_pad rows over m lanes).
     Lane dims must be Mosaic-legal when they are a BLOCK of a larger array —
@@ -41,9 +42,9 @@ def _fused_chains_supported(n_pad: int, m: int, dh: int, dtype) -> bool:
         # KB-sized, XLA fuses them fine, kernel dispatch would dominate
         return False
     return (fused_attention_supported(m, n_pad, dh, usize, has_mask=False,
-                                      has_bias=False)
+                                      has_bias=False, has_span=has_span)
             and fused_attention_supported(n_pad, m, dh, usize, has_mask=False,
-                                          has_bias=False))
+                                          has_bias=False, has_span=has_span))
 
 
 class _DenseParams(nn.Module):
@@ -75,6 +76,9 @@ class NystromAttention(nn.Module):
     dtype: Optional[jnp.dtype] = None
     seq_mesh: Optional[object] = None     # (data, seq) Mesh: shard the token axis
     use_pallas: bool = False              # fuse the two N-sized softmax chains
+    pallas_masked: bool = True            # ...masked calls too (interval masks
+    #   only — True for every in-repo caller: bucketed bags are suffix-padded
+    #   and this module front-pads.  Arbitrary masks need False.)
     pallas_interpret: bool = False
 
     @nn.compact
@@ -138,8 +142,10 @@ class NystromAttention(nn.Module):
         attn2 = nn.softmax(sim2, axis=-1)
         attn2_inv = moore_penrose_pinv(attn2, self.pinv_iterations)
 
-        if (self.use_pallas and mask is None and not return_attn
-                and _fused_chains_supported(n_pad, m, self.dim_head, q.dtype)):
+        if (self.use_pallas and not return_attn
+                and (mask is None or self.pallas_masked)
+                and _fused_chains_supported(n_pad, m, self.dim_head, q.dtype,
+                                            has_span=mask is not None)):
             # fuse the two N-sized softmax chains (attn1, attn3) in VMEM: the
             # (b, h, n, m) probability tensors and the (n, m) @ (m, m) f32
             # product never exist in HBM in either direction.  Association is
@@ -147,15 +153,36 @@ class NystromAttention(nn.Module):
             # (attn1 @ pinv) @ (attn3 @ v), fewer N-sized matmuls.
             from sml_tpu.ops.pallas.deform_attn import deform_attention_trainable
             bg, dh = b * h, self.dim_head
+            span1 = span3 = None
+            if mask is not None:
+                # masked bags keep the fused kernels: production masks are
+                # INTERVALS (bucketing pads the suffix — data/bucketing.py:39
+                # — and this module pads the front), so the kernel-side
+                # where(row & col, sim, -f32max) is two scalars per bag riding
+                # SMEM (``span``).  tok interval -> landmark interval: segment
+                # r = [r*seg, (r+1)*seg) holds a valid token iff it intersects
+                # [tok_start, tok_end), which for intervals is exactly the
+                # XLA path's ``lm_sum > 0``.  (Non-interval masks need
+                # ``pallas_masked=False``.)
+                tok_start = jnp.argmax(mask, axis=1).astype(jnp.int32)  # (b,)
+                n_valid = jnp.sum(mask, axis=1).astype(jnp.int32)
+                tok_end = tok_start + n_valid
+                lm_start = tok_start // seg
+                lm_end = -(-tok_end // seg)                    # ceil division
+                span3 = jnp.stack([lm_start, lm_end, tok_start, tok_end], 1)
+                span1 = jnp.stack([tok_start, tok_end, lm_start, lm_end], 1)
+                # (b, 4) -> (b*h, 4): head index is minor in the bg reshape
+                span3 = jnp.repeat(span3, h, axis=0)
+                span1 = jnp.repeat(span1, h, axis=0)
             x3 = deform_attention_trainable(                 # softmax(q_l k^T) v
                 q_l.reshape(bg, m, dh), k.reshape(bg, n_pad, dh),
-                v.reshape(bg, n_pad, dh), None, None, None, 1.0,
+                v.reshape(bg, n_pad, dh), None, None, None, span3, 1.0,
                 self.pallas_interpret)                       # (bg, m, dh)
             z = attn2_inv @ x3.reshape(b, h, m, dh).astype(attn2_inv.dtype)
             out = deform_attention_trainable(                # softmax(q k_l^T) z
                 q.reshape(bg, n_pad, dh), k_l.reshape(bg, m, dh),
-                z.reshape(bg, m, dh).astype(q.dtype), None, None, None, 1.0,
-                self.pallas_interpret)
+                z.reshape(bg, m, dh).astype(q.dtype), None, None, None, span1,
+                1.0, self.pallas_interpret)
             out = out.reshape(b, h, n_pad, dh)
         else:
             sim1 = jnp.einsum("bhid,bhjd->bhij", q, k_l)    # (b, h, n, m)

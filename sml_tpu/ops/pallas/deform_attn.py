@@ -393,21 +393,23 @@ _ATTN_ROW_BLOCKS = (1024, 512, 256, 128, 64, 32, 16)
 
 
 def _attn_tile_bytes(nb: int, j: int, dh: int, usize: int, has_mask: bool,
-                     bwd: bool, has_bias: bool = True) -> int:
+                     bwd: bool, has_bias: bool = True,
+                     has_span: bool = False) -> int:
     bias2 = 2 * nb * j * 4 if has_bias else 0
     q2 = 2 * nb * dh * usize
     kv2 = 2 * 2 * j * dh * usize
     mask2 = 2 * nb * j * usize if has_mask else 0
+    span2 = 2 * nb * j * 4 if has_span else 0      # iota + validity temporaries
     if not bwd:
         temps = 4 * nb * j * 4
-        return bias2 + 2 * q2 + kv2 + mask2 + temps
+        return bias2 + 2 * q2 + kv2 + mask2 + span2 + temps
     temps = 6 * nb * j * 4
     acc = 2 * 2 * j * dh * 4                       # dk / dv accumulator blocks
-    return 2 * bias2 + 3 * q2 + kv2 + mask2 + acc + temps
+    return 2 * bias2 + 3 * q2 + kv2 + mask2 + span2 + acc + temps
 
 
 def _pick_attn_rowblock(n: int, j: int, dh: int, usize: int, has_mask: bool,
-                        has_bias: bool = True):
+                        has_bias: bool = True, has_span: bool = False):
     """Row block shared by fwd and bwd (so a dropout mask block maps
     identically in both directions): among Mosaic-legal blocks fitting the
     VMEM budget, near-minimal zero-padding of the row axis first (N need not
@@ -416,8 +418,10 @@ def _pick_attn_rowblock(n: int, j: int, dh: int, usize: int, has_mask: bool,
     if j > _MAX_CHUNK_LANES:
         return None
     fits = [nb for nb in _ATTN_ROW_BLOCKS
-            if max(_attn_tile_bytes(nb, j, dh, usize, has_mask, False, has_bias),
-                   _attn_tile_bytes(nb, j, dh, usize, has_mask, True, has_bias))
+            if max(_attn_tile_bytes(nb, j, dh, usize, has_mask, False,
+                                    has_bias, has_span),
+                   _attn_tile_bytes(nb, j, dh, usize, has_mask, True,
+                                    has_bias, has_span))
             <= _VMEM_BUDGET]
     if not fits:
         return None
@@ -428,29 +432,57 @@ def _pick_attn_rowblock(n: int, j: int, dh: int, usize: int, has_mask: bool,
 
 def fused_attention_supported(n: int, j: int, dh: int, usize: int = 2,
                               has_mask: bool = True,
-                              has_bias: bool = True) -> bool:
-    return _pick_attn_rowblock(n, j, dh, usize, has_mask, has_bias) is not None
+                              has_bias: bool = True,
+                              has_span: bool = False) -> bool:
+    return _pick_attn_rowblock(n, j, dh, usize, has_mask, has_bias,
+                               has_span) is not None
 
 
 def fused_attention_padding(n: int, j: int, dh: int, usize: int = 2,
-                            has_mask: bool = True, has_bias: bool = True):
+                            has_mask: bool = True, has_bias: bool = True,
+                            has_span: bool = False):
     """Rows of zero-padding the fused kernel would add at this shape, or None
     when no legal tiling exists.  Callers use this to route the forward-only
     serving path: the pad copies (~0.5 ms on the 230 MB bias at N=2500) erase
     the kernel's win when there is no backward to amortize them."""
-    nb = _pick_attn_rowblock(n, j, dh, usize, has_mask, has_bias)
+    nb = _pick_attn_rowblock(n, j, dh, usize, has_mask, has_bias, has_span)
     if nb is None:
         return None
     return (-(-n // nb) * nb) - n
 
 
-def _softmax_rows(q, k, bias):
+_NEG_INF = -3.4028234663852886e38  # -finfo(f32).max: torch's masked_fill value
+
+
+def _span_valid(span_ref, shape):
+    """(row_valid, col_valid) (nb, J) bools for this program's row block from
+    the per-bag span scalars [row_start, row_end, col_start, col_end) (SMEM).
+    Rows/cols index the UNPADDED arrays; zero-pad rows land outside any span."""
+    nb, j = shape
+    row_off = pl.program_id(1) * nb
+    ri = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row_off
+    ci = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    rv = (ri >= span_ref[0, 0]) & (ri < span_ref[0, 1])
+    cv = (ci >= span_ref[0, 2]) & (ci < span_ref[0, 3])
+    return rv, cv
+
+
+def _softmax_rows(q, k, bias, valid=None):
     """(nb, J) attention probabilities, f32, max-shifted like the module.
-    ``bias`` may be None (pure softmax attention, e.g. the Nystrom chains)."""
+    ``bias`` may be None (pure softmax attention, e.g. the Nystrom chains).
+    ``valid`` = (row_valid, col_valid) applies the module's masked semantics
+    exactly: invalid columns are filled with -f32max BEFORE the shift (their
+    probability underflows to exactly 0, as in the XLA ``where``), and fully
+    invalid rows become a constant row (uniform probabilities over ALL
+    columns — identical to softmax over an all--f32max row)."""
     sim = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
     if bias is not None:
         sim = sim + bias
+    if valid is not None:
+        rv, cv = valid
+        sim = jnp.where(cv, sim, _NEG_INF)
+        sim = jnp.where(rv, sim, 0.0)
     sim = sim - jnp.max(sim, axis=1, keepdims=True)
     p = jnp.exp(sim)
     return p / jnp.sum(p, axis=1, keepdims=True)
@@ -474,16 +506,21 @@ def _dropout_mult(mask_ref, seed_ref, shape, keep_inv: float, keep_prob: float):
 
 
 def _attn_fwd_kernel(*refs, keep_inv: float, keep_prob: float, has_mask: bool,
-                     has_seed: bool, has_bias: bool = True):
+                     has_seed: bool, has_bias: bool = True,
+                     has_span: bool = False):
     refs = list(refs)
     seed_ref = refs.pop(0) if has_seed else None
+    span_ref = refs.pop(0) if has_span else None
     q_ref, k_ref, v_ref = refs[:3]
     refs = refs[3:]
     bias_ref = refs.pop(0) if has_bias else None
     mask_ref = refs.pop(0) if has_mask else None
     out_ref = refs.pop(0)
-    attn = _softmax_rows(q_ref[0], k_ref[0],
-                         bias_ref[0] if has_bias else None)
+    q = q_ref[0]
+    valid = _span_valid(span_ref, (q.shape[0], k_ref.shape[1])) \
+        if has_span else None
+    attn = _softmax_rows(q, k_ref[0],
+                         bias_ref[0] if has_bias else None, valid)
     if has_mask or has_seed:
         attn = attn * _dropout_mult(mask_ref, seed_ref, attn.shape,
                                     keep_inv, keep_prob)
@@ -493,9 +530,11 @@ def _attn_fwd_kernel(*refs, keep_inv: float, keep_prob: float, has_mask: bool,
 
 
 def _attn_bwd_kernel(*refs, keep_inv: float, keep_prob: float, has_mask: bool,
-                     has_seed: bool, has_bias: bool = True):
+                     has_seed: bool, has_bias: bool = True,
+                     has_span: bool = False):
     refs = list(refs)
     seed_ref = refs.pop(0) if has_seed else None
+    span_ref = refs.pop(0) if has_span else None
     q_ref, k_ref, v_ref = refs[:3]
     refs = refs[3:]
     bias_ref = refs.pop(0) if has_bias else None
@@ -509,7 +548,10 @@ def _attn_bwd_kernel(*refs, keep_inv: float, keep_prob: float, has_mask: bool,
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
-    attn = _softmax_rows(q, k, bias_ref[0] if has_bias else None)  # recompute
+    valid = _span_valid(span_ref, (q.shape[0], k.shape[0])) \
+        if has_span else None
+    attn = _softmax_rows(q, k, bias_ref[0] if has_bias else None,
+                         valid)                                    # recompute
     if has_mask or has_seed:
         m = _dropout_mult(mask_ref, seed_ref, attn.shape, keep_inv, keep_prob)
         attn_d = attn * m
@@ -527,6 +569,12 @@ def _attn_bwd_kernel(*refs, keep_inv: float, keep_prob: float, has_mask: bool,
         dattn = dattn * m
     # softmax vjp (max shift is stop-gradient)
     dsim = attn * (dattn - jnp.sum(dattn * attn, axis=1, keepdims=True))
+    if has_span:
+        # the XLA path's where(valid, sim, -f32max) blocks the cotangent at
+        # every masked position (incl. whole invalid rows, whose uniform
+        # probabilities are where-constants there)
+        rv, cv = valid
+        dsim = jnp.where(rv & cv, dsim, 0.0)
     if has_bias:
         dbias_ref[0] = dsim.astype(dbias_ref.dtype)
     dsim_c = dsim.astype(q.dtype)
@@ -543,16 +591,22 @@ def _pad_rows(t, npad):
     return jnp.pad(t, ((0, 0), (0, npad - n)) + ((0, 0),) * (t.ndim - 2))
 
 
-def _attn_inputs(q, k, v, bias, mask, seed, nb, npad):
-    """(operands, specs) for the shared input layout [seed?] q k v [bias?]
-    [mask?] — padded on the row axis; k/v blocks are revisited across row
-    programs.  ``bias=None`` = pure softmax attention (no bias operand)."""
+def _attn_inputs(q, k, v, bias, mask, seed, span, nb, npad):
+    """(operands, specs) for the shared input layout [seed?] [span?] q k v
+    [bias?] [mask?] — padded on the row axis; k/v blocks are revisited across
+    row programs.  ``bias=None`` = pure softmax attention (no bias operand);
+    ``span`` (BG, 4) int32 = per-bag [row_start, row_end, col_start, col_end)
+    validity intervals, read from SMEM."""
     j = k.shape[1]
     dh = q.shape[-1]
     ins, specs = [], []
     if seed is not None:
         ins.append(seed)
         specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    if span is not None:
+        ins.append(span)
+        specs.append(pl.BlockSpec((1, 4), lambda b, r: (b, 0),
+                                  memory_space=pltpu.SMEM))
     ins.append(_pad_rows(q, npad))
     specs.append(pl.BlockSpec((1, nb, dh), lambda b, r: (b, r, 0),
                               memory_space=pltpu.VMEM))
@@ -573,19 +627,21 @@ def _attn_inputs(q, k, v, bias, mask, seed, nb, npad):
 
 
 @functools.partial(jax.jit, static_argnames=("keep_prob", "interpret"))
-def _fused_attn_fwd_call(q, k, v, bias, mask, seed, keep_prob, interpret=False):
+def _fused_attn_fwd_call(q, k, v, bias, mask, seed, span, keep_prob,
+                         interpret=False):
     bg, n, dh = q.shape
     j = k.shape[1]
     usize = jnp.dtype(q.dtype).itemsize
     nb = _pick_attn_rowblock(n, j, dh, usize, mask is not None,
-                             bias is not None)
+                             bias is not None, span is not None)
     assert nb is not None, "caller must check fused_attention_supported first"
     npad = -(-n // nb) * nb
-    ins, in_specs = _attn_inputs(q, k, v, bias, mask, seed, nb, npad)
+    ins, in_specs = _attn_inputs(q, k, v, bias, mask, seed, span, nb, npad)
     kernel = functools.partial(_attn_fwd_kernel, keep_inv=1.0 / keep_prob,
                                keep_prob=keep_prob, has_mask=mask is not None,
                                has_seed=seed is not None,
-                               has_bias=bias is not None)
+                               has_bias=bias is not None,
+                               has_span=span is not None)
     out = pl.pallas_call(
         kernel,
         grid=(bg, npad // nb),
@@ -599,22 +655,24 @@ def _fused_attn_fwd_call(q, k, v, bias, mask, seed, keep_prob, interpret=False):
 
 
 @functools.partial(jax.jit, static_argnames=("keep_prob", "interpret"))
-def _fused_attn_bwd_call(q, k, v, bias, mask, seed, dout, keep_prob,
+def _fused_attn_bwd_call(q, k, v, bias, mask, seed, span, dout, keep_prob,
                          interpret=False):
     bg, n, dh = q.shape
     j = k.shape[1]
     usize = jnp.dtype(q.dtype).itemsize
     has_bias = bias is not None
-    nb = _pick_attn_rowblock(n, j, dh, usize, mask is not None, has_bias)
+    nb = _pick_attn_rowblock(n, j, dh, usize, mask is not None, has_bias,
+                             span is not None)
     assert nb is not None, "caller must check fused_attention_supported first"
     npad = -(-n // nb) * nb
-    ins, in_specs = _attn_inputs(q, k, v, bias, mask, seed, nb, npad)
+    ins, in_specs = _attn_inputs(q, k, v, bias, mask, seed, span, nb, npad)
     ins.append(_pad_rows(dout, npad))
     in_specs.append(pl.BlockSpec((1, nb, dh), lambda b, r: (b, r, 0),
                                  memory_space=pltpu.VMEM))
     kernel = functools.partial(_attn_bwd_kernel, keep_inv=1.0 / keep_prob,
                                keep_prob=keep_prob, has_mask=mask is not None,
-                               has_seed=seed is not None, has_bias=has_bias)
+                               has_seed=seed is not None, has_bias=has_bias,
+                               has_span=span is not None)
     f32 = jnp.float32
     out_specs = [
         pl.BlockSpec((1, nb, dh), lambda b, r: (b, r, 0),
@@ -650,10 +708,10 @@ def _fused_attn_bwd_call(q, k, v, bias, mask, seed, dout, keep_prob,
     return dq, dk.astype(k.dtype), dv.astype(v.dtype), dbias
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def deform_attention_trainable(q, k, v, bias, mask=None, seed=None,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def deform_attention_trainable(q, k, v, bias, mask=None, seed=None, span=None,
                                keep_prob=1.0, interpret=False):
-    """out (BG, N, dh) = dropout(softmax(q @ k^T + bias)) @ v, fused.
+    """out (BG, N, dh) = dropout(softmax(mask(q @ k^T + bias))) @ v, fused.
 
     q (BG, N, dh) already scaled; k/v (BG, J, dh); bias (BG, N, J) f32 (the
     CPB kernel's output reshaped — a free relayout) or None for pure softmax
@@ -661,29 +719,36 @@ def deform_attention_trainable(q, k, v, bias, mask=None, seed=None,
     dbias output).  Dropout comes from at most one of: ``mask``, a {0, 1}
     float tensor (BG, N, J) of KEPT positions (interpret-safe, exact), or
     ``seed``, a (2,) int32 key feeding the on-chip PRNG (zero HBM traffic;
-    TPU only).  Backward recomputes the chain (no residuals) and returns
-    exact grads for q, k, v (and bias when given).
+    TPU only).  ``span`` (BG, 4) int32 = per-bag [row_start, row_end,
+    col_start, col_end) validity intervals — the fused form of the masked
+    module's ``where(row & col, sim, -f32max)`` for INTERVAL masks (bucketed
+    bags): invalid columns get probability exactly 0; fully invalid rows are
+    uniform over all columns; the cotangent is blocked at every masked
+    position.  The interval scalars ride SMEM, so masking costs no HBM
+    traffic.  Backward recomputes the chain (no residuals) and returns exact
+    grads for q, k, v (and bias when given).
     """
     assert mask is None or seed is None
-    return _fused_attn_fwd_call(q, k, v, bias, mask, seed, keep_prob,
+    return _fused_attn_fwd_call(q, k, v, bias, mask, seed, span, keep_prob,
                                 interpret=interpret)
 
 
-def _deform_attn_fwd(q, k, v, bias, mask, seed, keep_prob, interpret):
-    out = _fused_attn_fwd_call(q, k, v, bias, mask, seed, keep_prob,
+def _deform_attn_fwd(q, k, v, bias, mask, seed, span, keep_prob, interpret):
+    out = _fused_attn_fwd_call(q, k, v, bias, mask, seed, span, keep_prob,
                                interpret=interpret)
-    return out, (q, k, v, bias, mask, seed)
+    return out, (q, k, v, bias, mask, seed, span)
 
 
 def _deform_attn_bwd(keep_prob, interpret, res, dout):
-    q, k, v, bias, mask, seed = res
-    dq, dk, dv, dbias = _fused_attn_bwd_call(q, k, v, bias, mask, seed,
+    q, k, v, bias, mask, seed, span = res
+    dq, dk, dv, dbias = _fused_attn_bwd_call(q, k, v, bias, mask, seed, span,
                                              dout.astype(q.dtype), keep_prob,
                                              interpret=interpret)
     # dbias is already None when bias is None (no bias operand in the kernel)
     dmask = None if mask is None else jnp.zeros_like(mask)
     dseed = None if seed is None else np.zeros(seed.shape, jax.dtypes.float0)
-    return dq, dk, dv, dbias, dmask, dseed
+    dspan = None if span is None else np.zeros(span.shape, jax.dtypes.float0)
+    return dq, dk, dv, dbias, dmask, dseed, dspan
 
 
 deform_attention_trainable.defvjp(_deform_attn_fwd, _deform_attn_bwd)

@@ -177,8 +177,8 @@ def seq_parallel_deform_attn_2d(params: dict, x1_l: jnp.ndarray,
                 kf = kh.reshape(b * heads, j_kv, dim_head)
                 vf = vh.reshape(b * heads, j_kv, dim_head)
                 out_f = deform_attention_trainable(qf, kf, vf, flatb,
-                                                   drop_mask, seed, keep,
-                                                   pallas_interpret)
+                                                   drop_mask, seed, None,
+                                                   keep, pallas_interpret)
                 out_l = out_f.reshape(b, heads, n_l, dim_head)
 
     if out_l is None:

@@ -46,7 +46,7 @@ def test_fused_attention_matches_chain(n):
 
     v_ref, g_ref = run(lambda *a: _chain(*a, None, 1.0))
     v_pal, g_pal = run(lambda *a: deform_attention_trainable(
-        *a, None, None, 1.0, True))
+        *a, None, None, None, 1.0, True))
 
     np.testing.assert_allclose(np.asarray(v_pal), np.asarray(v_ref),
                                rtol=1e-5, atol=1e-5)
@@ -72,7 +72,7 @@ def test_fused_attention_dropout_mask_exact():
 
     v_ref, g_ref = run(lambda *a: _chain(*a, mask, keep))
     v_pal, g_pal = run(lambda *a: deform_attention_trainable(
-        *a, mask, None, keep, True))
+        *a, mask, None, None, keep, True))
 
     np.testing.assert_allclose(np.asarray(v_pal), np.asarray(v_ref),
                                rtol=1e-5, atol=1e-5)

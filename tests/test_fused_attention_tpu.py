@@ -35,8 +35,8 @@ def test_seed_dropout_equals_extracted_mask_path():
     z_b = jnp.zeros((bg, n, j), jnp.float32)
     eye = jnp.broadcast_to(jnp.eye(j, dtype=jnp.float32), (bg, j, dh))
     k0 = jnp.zeros((bg, j, dh), jnp.float32)
-    probe = deform_attention_trainable(z_q, k0, eye, z_b, None, seed, keep,
-                                       False)
+    probe = deform_attention_trainable(z_q, k0, eye, z_b, None, seed, None,
+                                       keep, False)
     mask01 = jnp.asarray((np.asarray(probe) * j > 0.5).astype(np.float32))
     kept = float(mask01.mean())
     assert 0.7 < kept < 0.9, f"kept fraction {kept} far from keep_prob {keep}"
@@ -48,11 +48,14 @@ def test_seed_dropout_equals_extracted_mask_path():
     def loss(q_, k_, v_, b_, use_seed):
         o = deform_attention_trainable(q_, k_, v_, b_,
                                        None if use_seed else mask01,
-                                       seed if use_seed else None, keep, False)
+                                       seed if use_seed else None, None, keep,
+                                       False)
         return jnp.sum(o.astype(jnp.float32) * cot)
 
-    o_seed = deform_attention_trainable(q, k, v, bias, None, seed, keep, False)
-    o_mask = deform_attention_trainable(q, k, v, bias, mask01, None, keep, False)
+    o_seed = deform_attention_trainable(q, k, v, bias, None, seed, None,
+                                        keep, False)
+    o_mask = deform_attention_trainable(q, k, v, bias, mask01, None, None,
+                                        keep, False)
     np.testing.assert_array_equal(np.asarray(o_seed), np.asarray(o_mask))
 
     g_seed = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias, True)
@@ -73,12 +76,15 @@ def test_seed_dropout_deterministic_and_normalized():
     bias = _rand(rng, bg, n, j)
     seed = jnp.asarray([7, 9], jnp.int32)
 
-    o1 = deform_attention_trainable(q, k, v, bias, None, seed, keep, False)
-    o2 = deform_attention_trainable(q, k, v, bias, None, seed, keep, False)
+    o1 = deform_attention_trainable(q, k, v, bias, None, seed, None,
+                                        keep, False)
+    o2 = deform_attention_trainable(q, k, v, bias, None, seed, None,
+                                        keep, False)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
 
     # keep ~1.0 degenerates to the no-dropout path exactly
-    o_k1 = deform_attention_trainable(q, k, v, bias, None, seed, 1.0 - 1e-9,
+    o_k1 = deform_attention_trainable(q, k, v, bias, None, seed, None,
+                                      1.0 - 1e-9, False)
+    o_no = deform_attention_trainable(q, k, v, bias, None, None, None, 1.0,
                                       False)
-    o_no = deform_attention_trainable(q, k, v, bias, None, None, 1.0, False)
     np.testing.assert_array_equal(np.asarray(o_k1), np.asarray(o_no))

@@ -50,11 +50,65 @@ def test_fused_matches_xla_outputs_and_grads():
                                rtol=1e-4, atol=1e-5)
 
 
-def test_masked_call_keeps_xla_path_and_matches():
-    # mask is not None -> the gate keeps the XLA formulation; the module must
-    # still be exactly the reference masked math
-    b, n = 2, 200
+def _masked_pair_check(n, lengths, starts=None, rtol=1e-4, atol=1e-5):
+    """Fused masked module (span kernels) vs the XLA masked formulation:
+    outputs and grads on the FULL output (incl. masked-token rows — the span
+    semantics reproduce the where(-f32max) math there too)."""
+    b = len(lengths)
     ref, fused = _pair()
+    x = jax.random.normal(jax.random.PRNGKey(2), (b, n, KW["dim"]), jnp.float32)
+    idx = jnp.arange(n)[None, :]
+    ends = jnp.array(lengths)[:, None]
+    lo = jnp.zeros((b, 1), jnp.int32) if starts is None \
+        else jnp.array(starts)[:, None]
+    mask = (idx >= lo) & (idx < lo + ends)
+    params = ref.init(jax.random.PRNGKey(0), x, deterministic=True)
+
+    o_ref = ref.apply(params, x, mask=mask, deterministic=True)
+    o_fused = fused.apply(params, x, mask=mask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(o_fused), np.asarray(o_ref),
+                               rtol=rtol, atol=atol)
+
+    def loss(mod):
+        return lambda p, x: (mod.apply(p, x, mask=mask,
+                                       deterministic=True) ** 2).sum()
+
+    g_ref, gx_ref = jax.grad(loss(ref), argnums=(0, 1))(params, x)
+    g_fused, gx_fused = jax.grad(loss(fused), argnums=(0, 1))(params, x)
+    for a, c in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=rtol, atol=atol)
+    np.testing.assert_allclose(np.asarray(gx_fused), np.asarray(gx_ref),
+                               rtol=rtol, atol=atol)
+
+
+def test_masked_fused_matches_xla_suffix_masks():
+    # bucketed-bag shape: suffix padding, n % m != 0 adds a front pad on top
+    _masked_pair_check(n=200, lengths=[150, 200])
+
+
+def test_masked_fused_matches_xla_fully_masked_landmarks():
+    # bags short enough that whole landmark segments are invalid (the XLA
+    # path's uniform-softmax rows leak through the pinv — the span kernel
+    # must reproduce them), incl. a nearly-empty bag.  Slightly looser
+    # tolerance: the fused association (attn1 @ (pinv @ x3)) reassociates
+    # f32 sums that the uniform rows amplify through the pinv.
+    _masked_pair_check(n=256, lengths=[40, 8, 256], rtol=5e-4, atol=5e-5)
+
+
+def test_masked_fused_matches_xla_interval_masks():
+    # intervals with a False PREFIX (e.g. composed maskings), not just suffix
+    _masked_pair_check(n=256, lengths=[100, 200], starts=[30, 56],
+                       rtol=5e-4, atol=5e-5)
+
+
+def test_pallas_masked_false_keeps_xla_path():
+    # the opt-out for non-interval masks: bit-identical to the XLA module
+    b, n = 2, 200
+    ref = NystromAttention(**KW)
+    fused = NystromAttention(**KW, use_pallas=True, pallas_masked=False,
+                             pallas_interpret=True)
     x = jax.random.normal(jax.random.PRNGKey(2), (b, n, KW["dim"]), jnp.float32)
     mask = jnp.arange(n)[None, :] < jnp.array([[150], [200]])
     params = ref.init(jax.random.PRNGKey(0), x, deterministic=True)
