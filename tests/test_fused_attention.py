@@ -123,3 +123,56 @@ def test_module_fused_dropout_runs_and_normalizes():
     out_det = nodrop.apply(params, x1, x2, deterministic=True)
     np.testing.assert_allclose(np.asarray(out_train), np.asarray(out_det),
                                rtol=1e-5, atol=1e-6)
+
+
+def _span_chain(q, k, v, bias, span, mask, keep):
+    """XLA oracle for the span semantics: where(row & col, sim, -f32max)
+    BEFORE the (non-stop-grad-blocked) softmax — the Nystrom masked module's
+    formulation generalized to a bias + dropout-mask epilogue."""
+    neg = -3.4028234663852886e38
+    bg, n, _ = q.shape
+    j = k.shape[1]
+    ri = jnp.arange(n)[None, :, None]
+    ci = jnp.arange(j)[None, None, :]
+    rv = (ri >= span[:, 0, None, None]) & (ri < span[:, 1, None, None])
+    cv = (ci >= span[:, 2, None, None]) & (ci < span[:, 3, None, None])
+    sim = jnp.einsum("bid,bjd->bij", q, k) + bias
+    sim = jnp.where(rv & cv, sim, neg)
+    attn = jax.nn.softmax(sim, axis=-1)
+    if mask is not None:
+        attn = attn * mask / keep
+    return jnp.einsum("bij,bjd->bid", attn, v)
+
+
+@pytest.mark.parametrize("dropout", [False, True])
+def test_fused_attention_span_with_bias_and_dropout(dropout):
+    """span composes with the bias operand and the dropout mask: values and
+    all four grads match the XLA where(-f32max) oracle, including a
+    fully-invalid-rows bag and row-block zero padding (n=20 -> npad=32)."""
+    rng = np.random.default_rng(7)
+    bg, n, j, dh, keep = 3, 20, 6, 8, 0.75
+    q, k, v = _rand(rng, bg, n, dh), _rand(rng, bg, j, dh), _rand(rng, bg, j, dh)
+    bias = _rand(rng, bg, n, j)
+    cot = _rand(rng, bg, n, dh)
+    # bag 0: interior interval; bag 1: everything valid; bag 2: NO valid rows
+    span = jnp.asarray([[3, 17, 1, 5], [0, 20, 0, 6], [20, 20, 0, 6]],
+                       jnp.int32)
+    mask = jnp.asarray((rng.uniform(size=(bg, n, j)) < keep).astype(np.float32)) \
+        if dropout else None
+    kp = keep if dropout else 1.0
+
+    def run(f):
+        def loss(q_, k_, v_, b_):
+            return jnp.sum(f(q_, k_, v_, b_) * cot)
+        return (f(q, k, v, bias),
+                jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias))
+
+    v_ref, g_ref = run(lambda *a: _span_chain(*a, span, mask, kp))
+    v_pal, g_pal = run(lambda *a: deform_attention_trainable(
+        *a, mask, None, span, kp, True))
+
+    np.testing.assert_allclose(np.asarray(v_pal), np.asarray(v_ref),
+                               rtol=1e-5, atol=1e-5)
+    for name, a, b in zip("qkvb", g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5, err_msg=f"d{name}")
