@@ -272,10 +272,15 @@ def main():
 
     vs_baseline = 0.0
     baseline_kind = "none"
-    if args.eval_only:
+    if args.mask_frac < 1.0:
+        # the measured torch baseline ran dense bags; a masked (bucketed) run
+        # does the same compute on fewer valid tokens, so the ratio would
+        # overstate — report none
+        baseline_kind = "none (baseline is dense; masked run not comparable)"
+    elif args.eval_only:
         # the measured reference baseline is a TRAIN step; no eval baseline exists
         baseline_kind = "none (reference baseline is a train step)"
-    for name in (() if args.eval_only else
+    for name in (() if (args.eval_only or args.mask_frac < 1.0) else
                  (f"baseline_reference_{args.fixdim}.json",
                   "baseline_reference.json")):
         baseline_path = os.path.join(REPO, "benchmarks", name)
