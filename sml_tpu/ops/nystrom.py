@@ -266,7 +266,9 @@ class NystromAttention(nn.Module):
             self.seq_mesh, params, x, mask, dim=self.dim, dim_head=self.dim_head,
             heads=self.heads, num_landmarks=m,
             pinv_iterations=self.pinv_iterations, residual=self.residual,
-            residual_conv_kernel=self.residual_conv_kernel, eps=self.eps)
+            residual_conv_kernel=self.residual_conv_kernel, eps=self.eps,
+            use_pallas=self.use_pallas and (mask is None or self.pallas_masked),
+            pallas_interpret=self.pallas_interpret)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out[:, -n:]
 

@@ -34,6 +34,19 @@ from jax.sharding import Mesh, PartitionSpec as P
 _NEG_INF = -3.4028234663852886e38
 
 
+def _chain1_fusable(n_local: int, m: int, dh: int, dtype,
+                    has_span: bool) -> bool:
+    """chain 1 (local token rows over the full landmark lane axis) has a legal
+    fused tiling AND is big enough per shard to beat kernel dispatch (same
+    4x rule as the single-device gate)."""
+    from sml_tpu.ops.pallas.deform_attn import fused_attention_supported
+    if n_local % 8 or m % 8 or n_local < 4 * m:
+        return False
+    return fused_attention_supported(n_local, m, dh, jnp.dtype(dtype).itemsize,
+                                     has_mask=False, has_bias=False,
+                                     has_span=has_span)
+
+
 def seq_parallel_nystrom_attention(params: dict, x: jnp.ndarray,
                                    mask: Optional[jnp.ndarray],
                                    *, dim: int, dim_head: int, heads: int,
@@ -42,7 +55,9 @@ def seq_parallel_nystrom_attention(params: dict, x: jnp.ndarray,
                                    residual_conv_kernel: int = 33,
                                    eps: float = 1e-8,
                                    axis_name: str = "seq",
-                                   n_dev: int = None) -> jnp.ndarray:
+                                   n_dev: int = None,
+                                   use_pallas: bool = False,
+                                   pallas_interpret: bool = False) -> jnp.ndarray:
     """Inside-shard_map body: x (b, n_local, dim) is this device's token shard.
 
     ``params``: the plain-param tree of :class:`sml_tpu.ops.nystrom.NystromAttention`
@@ -91,20 +106,16 @@ def seq_parallel_nystrom_attention(params: dict, x: jnp.ndarray,
     k_l_all = lax.all_gather(k_l, axis_name, axis=2, tiled=True)
     lm_mask = lax.all_gather(lm_mask_local, axis_name, axis=1, tiled=True)  # (b, m)
 
-    sim1 = jnp.einsum("bhid,bhjd->bhij", q, k_l_all)               # (b,h,nl,m)
     sim2 = jnp.einsum("bhid,bhjd->bhij", q_l_all, k_l_all)         # (b,h,m,m)
     sim3 = jnp.einsum("bhid,bhjd->bhij", q_l_all, k)               # (b,h,m,nl)
 
     if mask is not None:
-        mq = mask[:, None, :, None]
         ml = lm_mask[:, None, :, None]
         mlT = lm_mask[:, None, None, :]
         mkT = mask[:, None, None, :]
-        sim1 = jnp.where(mq & mlT, sim1, _NEG_INF)
         sim2 = jnp.where(ml & mlT, sim2, _NEG_INF)
         sim3 = jnp.where(ml & mkT, sim3, _NEG_INF)
 
-    attn1 = jax.nn.softmax(sim1, axis=-1)
     attn2 = jax.nn.softmax(sim2, axis=-1)
     # attn3's softmax normalizes over the FULL token axis: shard-local exp sums psum'd
     sim3_max = lax.pmax(lax.stop_gradient(sim3.max(axis=-1, keepdims=True)),
@@ -119,7 +130,54 @@ def seq_parallel_nystrom_attention(params: dict, x: jnp.ndarray,
 
     # (attn3 @ v) reduces over local tokens -> psum the (m, d) result
     a3v = lax.psum(attn3 @ v, axis_name)                           # (b, h, m, d)
-    out = (attn1 @ attn2_inv) @ a3v                                # (b, h, nl, d)
+
+    if use_pallas and _chain1_fusable(n_local, m, dim_head, q.dtype,
+                                      mask is not None):
+        # chain 1 is shard-local given the gathered landmarks: fuse its
+        # softmax through the bias-less kernel pair so the (b, h, nl, m)
+        # probability tensor never exists in HBM (same association change as
+        # the single-device fused path: attn1 @ (pinv @ a3v)).  chain 3 stays
+        # XLA — its softmax denominator psums across shards, which the
+        # self-contained kernel cannot express.
+        from sml_tpu.ops.pallas.deform_attn import deform_attention_trainable
+        bg = b * h
+        span1 = None
+        if mask is not None:
+            # global token/landmark validity intervals from the local interval
+            # masks (production masks are intervals; see ops/nystrom.py):
+            # shards with no valid token contribute neutral extremes
+            off = lax.axis_index(axis_name) * n_local
+            any_l = jnp.any(mask, axis=1)                          # (b,)
+            first_l = jnp.argmax(mask, axis=1).astype(jnp.int32)
+            nval_l = jnp.sum(mask, axis=1).astype(jnp.int32)
+            big = jnp.int32(2 ** 30)
+            tok_start = lax.pmin(jnp.where(any_l, off + first_l, big),
+                                 axis_name)
+            tok_end = lax.pmax(
+                jnp.where(any_l, off + first_l + nval_l, jnp.int32(-1)),
+                axis_name)
+            lm_start = tok_start // seg
+            lm_end = -(-tok_end // seg)
+            # rows are LOCAL token coords: clip the global interval to this
+            # shard; cols are the full (gathered) landmark axis
+            rs = jnp.clip(tok_start - off, 0, n_local)
+            re_ = jnp.clip(tok_end - off, 0, n_local)
+            span1 = jnp.repeat(jnp.stack([rs, re_, lm_start, lm_end], 1),
+                               h, axis=0)                          # (b*h, 4)
+        z = attn2_inv @ a3v.astype(attn2_inv.dtype)                # (b, h, m, d)
+        out = deform_attention_trainable(
+            q.reshape(bg, n_local, dim_head),
+            k_l_all.reshape(bg, m, dim_head),
+            z.reshape(bg, m, dim_head).astype(q.dtype),
+            None, None, None, span1, 1.0, pallas_interpret)
+        out = out.reshape(b, h, n_local, dim_head)
+    else:
+        sim1 = jnp.einsum("bhid,bhjd->bhij", q, k_l_all)           # (b,h,nl,m)
+        if mask is not None:
+            mq = mask[:, None, :, None]
+            sim1 = jnp.where(mq & mlT, sim1, _NEG_INF)
+        attn1 = jax.nn.softmax(sim1, axis=-1)
+        out = (attn1 @ attn2_inv) @ a3v                            # (b, h, nl, d)
     out = out.transpose(0, 2, 1, 3).reshape(b, n_local, inner)
 
     if residual:
@@ -184,5 +242,8 @@ def run_seq_parallel_nystrom(mesh: Mesh, params: dict, x: jnp.ndarray,
 
     param_specs = jax.tree_util.tree_map(lambda _: P(), params)
     in_specs = (param_specs, P(b_ax, axis, None), P(b_ax, axis))
+    # check_vma=False: pallas_call out_shapes carry no vma annotation, which
+    # the checker rejects inside shard_map (same workaround as seq_deform.py)
     return shard_map(body, mesh=mesh, in_specs=in_specs,
-                     out_specs=P(b_ax, axis, None))(params, x, mask)
+                     out_specs=P(b_ax, axis, None),
+                     check_vma=False)(params, x, mask)

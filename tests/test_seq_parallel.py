@@ -110,3 +110,58 @@ def test_seq_parallel_renamed_batch_axis():
     assert out.sharding.spec == P("batch", "seq", None), out.sharding
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
                                atol=2e-4)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_seq_parallel_fused_chain1_matches_single_device(with_mask):
+    """use_pallas fuses chain 1 per shard (gathered-landmark lanes, local
+    token rows) — interpret mode vs the single-device module, incl. interval
+    masks whose spans are derived via pmin/pmax collectives and shards that
+    are FULLY masked."""
+    rng = np.random.default_rng(3)
+    b, n, dim, heads, dh, m = 1, 2048, 16, 2, 8, 32   # n_local=256 >= 4m=128
+    x = jnp.asarray(rng.normal(size=(b, n, dim)).astype(np.float32))
+    mask = None
+    if with_mask:
+        mask_np = np.zeros((b, n), bool)
+        mask_np[:, 300:1200] = True    # interval; shards 5-7 fully invalid
+        mask = jnp.asarray(mask_np)
+
+    mod = NystromAttention(dim=dim, dim_head=dh, heads=heads, num_landmarks=m,
+                           residual=True, dropout=0.0)
+    variables = mod.init(jax.random.PRNGKey(0), x, deterministic=True)
+    ref = mod.apply(variables, x, mask=mask, deterministic=True)
+
+    out = run_seq_parallel_nystrom(
+        _mesh(), variables["params"], x, mask,
+        dim=dim, dim_head=dh, heads=heads, num_landmarks=m,
+        use_pallas=True, pallas_interpret=True)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
+                               atol=2e-5)
+
+
+@pytest.mark.slow
+def test_seq_parallel_fused_chain1_grads_match_xla_path():
+    rng = np.random.default_rng(4)
+    b, n, dim, heads, dh, m = 1, 2048, 16, 2, 8, 32
+    x = jnp.asarray(rng.normal(size=(b, n, dim)).astype(np.float32))
+    mask_np = np.zeros((b, n), bool)
+    mask_np[:, :1100] = True
+    mask = jnp.asarray(mask_np)
+    mod = NystromAttention(dim=dim, dim_head=dh, heads=heads, num_landmarks=m,
+                           residual=True, dropout=0.0)
+    variables = mod.init(jax.random.PRNGKey(0), x, deterministic=True)
+
+    def loss(params, fused):
+        out = run_seq_parallel_nystrom(
+            _mesh(), params, x, mask, dim=dim, dim_head=dh, heads=heads,
+            num_landmarks=m, use_pallas=fused, pallas_interpret=True)
+        return (out ** 2).sum()
+
+    g_x = jax.grad(lambda p: loss(p, False))(variables["params"])
+    g_f = jax.grad(lambda p: loss(p, True))(variables["params"])
+    for a, c in zip(jax.tree_util.tree_leaves(g_x),
+                    jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a), rtol=5e-4,
+                                   atol=5e-5)
