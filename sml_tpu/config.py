@@ -186,6 +186,15 @@ class Config:
             raise ValueError(f"unknown task_type {self.task_type!r}")
         if self.attn_dim not in (1, 2):
             raise ValueError("attn_dim must be 1 or 2")
+        if self.attn_dim == 1 and self.return_vgrid:
+            # the 1-D deformable path produces no vgrid, so the vgrid-based
+            # batch-similarity loss is undefined; the reference crashes here
+            # too (UnboundLocalError at models/DeformCrossTransMIL.py:158) —
+            # fail with guidance instead of a deep KeyError
+            raise ValueError("attn_dim=1 has no vgrid (1-D deformable "
+                             "attention): set return_vgrid=false (disables "
+                             "the vgrid batch-similarity loss, as in the "
+                             "reference)")
         # non-square fixdim is allowed: DeformCrossTransMIL pads the token axis to
         # the next perfect square internally (masked), generalizing the reference's
         # hard-coded 50x50 grid (models/DeformableAttention2D.py:239-240)

@@ -56,6 +56,7 @@ class DeformCrossTransLayer(nn.Module):
             out = DeformCrossAttention1D(
                 dim=self.dim, downsample_factor=4, offset_scale=2.0,
                 offset_kernel_size=6, cpb_query_chunk=self.cpb_query_chunk,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype, name="attn1d")(
                 n1, n2, return_vgrid=False, deterministic=deterministic, mask=mask)
             return x1 + out

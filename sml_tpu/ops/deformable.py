@@ -572,6 +572,8 @@ class DeformCrossAttention1D(nn.Module):
     group_queries: bool = False
     group_key_values: bool = False
     cpb_query_chunk: int = 512
+    use_pallas: bool = False      # fused sim+softmax(+dropout)+attn@v epilogue
+    pallas_interpret: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -609,8 +611,29 @@ class DeformCrossAttention1D(nn.Module):
         vgrid = grid[None] + offsets                              # (B*g, Nd)
         vgrid_scaled = 2.0 * vgrid / max(nd - 1, 1) - 1.0
 
-        kv = grid_sample_1d(_group(x2, g), vgrid_scaled)          # (B*g, Nd, c/g)
-        kv = _ungroup(kv, g)                                      # (B, Nd, c)
+        # fused epilogue (same kernel pair as the 2-D path): the sampled-point
+        # axis must satisfy the kernel's %8 sublane rule, so pad vgrid with
+        # dummy points BEFORE sampling (extra ~1% bias/kv compute, NO big
+        # pad-copies); the col span excludes them exactly.  Serving keeps the
+        # 2-D routing rule: fused in training / interpret / zero-row-pad.
+        ndp = -(-nd // 8) * 8
+        dropout_active = (not deterministic) and self.dropout > 0.0
+        use_fused = False
+        if self.use_pallas:
+            from sml_tpu.ops.pallas.deform_attn import (
+                deform_attention_trainable, fused_attention_padding)
+            pad_rows = fused_attention_padding(
+                n, ndp, self.dim_head, jnp.dtype(q.dtype).itemsize,
+                has_mask=dropout_active and self.pallas_interpret,
+                has_bias=True, has_span=True)
+            use_fused = pad_rows is not None and (not deterministic
+                                                  or self.pallas_interpret
+                                                  or pad_rows == 0)
+        vg_samp = vgrid_scaled if (not use_fused or ndp == nd) else \
+            jnp.pad(vgrid_scaled, ((0, 0), (0, ndp - nd)))
+
+        kv = grid_sample_1d(_group(x2, g), vg_samp)               # (B*g, J, c/g)
+        kv = _ungroup(kv, g)                                      # (B, J, c)
 
         k = conv1(inner_dim, g if self.group_key_values else 1, False, "to_k")(kv)
         v = conv1(inner_dim, g if self.group_key_values else 1, False, "to_v")(kv)
@@ -622,21 +645,49 @@ class DeformCrossAttention1D(nn.Module):
                              ).transpose(0, 2, 1, 3)
 
         qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
-        sim = jnp.einsum("bhid,bhjd->bhij", qh, kh)               # (B, h, N, Nd)
 
-        seq_scaled = 2.0 * jnp.arange(n, dtype=sim.dtype) / max(n - 1, 1) - 1.0
+        seq_scaled = 2.0 * jnp.arange(n, dtype=qh.dtype) / max(n - 1, 1) - 1.0
         bias = CPB1D(self.dim // 4, heads=heads, offset_groups=g,
                      log_distance=self.cpb_log_distance,
                      query_chunk=self.cpb_query_chunk,
-                     name="rel_pos_bias")(seq_scaled, vgrid_scaled, b)
-        sim = sim + bias
+                     name="rel_pos_bias")(seq_scaled, vg_samp, b)  # (B, h, N, J)
 
-        sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
-        attn = nn.softmax(sim, axis=-1)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        if use_fused:
+            jj = kh.shape[2]
+            bg = b * heads
+            drop_mask, seed, keep = None, None, 1.0
+            if dropout_active:
+                keep = 1.0 - self.dropout
+                rng = self.make_rng("dropout")
+                if self.pallas_interpret:
+                    # explicit mask operand: the on-chip PRNG does not lower
+                    # in interpret mode (CPU tests)
+                    drop_mask = jax.random.bernoulli(
+                        rng, keep, (bg, n, jj)).astype(qh.dtype)
+                else:
+                    kd = (jax.random.key_data(rng)
+                          if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
+                          else rng)
+                    seed = jax.lax.bitcast_convert_type(kd.reshape(2),
+                                                        jnp.int32)
+            span = jnp.broadcast_to(jnp.asarray([0, n, 0, nd], jnp.int32),
+                                    (bg, 4))
+            out_h = deform_attention_trainable(
+                qh.reshape(bg, n, self.dim_head),
+                kh.reshape(bg, jj, self.dim_head),
+                vh.reshape(bg, jj, self.dim_head),
+                bias.reshape(bg, n, jj).astype(jnp.float32),
+                drop_mask, seed, span, keep,
+                self.pallas_interpret).reshape(b, heads, n, self.dim_head)
+        else:
+            sim = jnp.einsum("bhid,bhjd->bhij", qh, kh)           # (B, h, N, Nd)
+            sim = sim + bias
+            sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
+            attn = nn.softmax(sim, axis=-1)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out_h = jnp.einsum("bhij,bhjd->bhid", attn, vh)
 
-        out = jnp.einsum("bhij,bhjd->bhid", attn, vh)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner_dim)
+        out = out_h.transpose(0, 2, 1, 3).reshape(b, n, inner_dim)
         out = conv1(self.dim, 1, True, "to_out")(out)
 
         if return_vgrid:

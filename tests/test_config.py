@@ -50,4 +50,7 @@ def test_config_validation_errors():
         Config(mode="bogus")
     with pytest.raises(ValueError):
         Config(attn_dim=3)
+    with pytest.raises(ValueError, match="return_vgrid"):
+        Config(attn_dim=1)          # 1-D has no vgrid (reference crashes too)
+    assert Config(attn_dim=1, return_vgrid=False).attn_dim == 1
     assert Config(fixdim=4096).grid_size == 64

@@ -148,3 +148,56 @@ def test_normalized_grid_bounds():
     norm = normalize_grid_2d(grid, 12, 12)
     assert np.asarray(norm).min() == -1.0
     assert np.asarray(norm).max() == 1.0
+
+
+def test_deform1d_fused_epilogue_matches_xla():
+    """use_pallas routes the 1-D chain through the fused kernel pair
+    (interpret mode): the sampled-point axis is padded to %8 with dummy
+    points excluded by the col span, so values and grads must equal the
+    XLA chain exactly (no dropout)."""
+    rng = np.random.default_rng(5)
+    b, n, c = 2, 101, 16                   # nd = 26 -> ndp = 32 (span-excluded)
+    x1 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    kw = dict(dim=c, dim_head=8, heads=8, offset_groups=4,
+              downsample_factor=4, offset_scale=2.0, offset_kernel_size=6)
+    ref = DeformCrossAttention1D(**kw)
+    fused = DeformCrossAttention1D(**kw, use_pallas=True, pallas_interpret=True)
+    params = ref.init(jax.random.PRNGKey(0), x1, x2, deterministic=True)
+
+    o_ref = ref.apply(params, x1, x2, deterministic=True)
+    o_fused = fused.apply(params, x1, x2, deterministic=True)
+    np.testing.assert_allclose(np.asarray(o_fused), np.asarray(o_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(mod):
+        return lambda p: (mod.apply(p, x1, x2, deterministic=True) ** 2).sum()
+
+    g_ref = jax.grad(loss(ref))(params)
+    g_fused = jax.grad(loss(fused))(params)
+    for a, c_ in zip(jax.tree_util.tree_leaves(g_ref),
+                     jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(c_), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_deform1d_fused_dropout_normalizes():
+    """Fused 1-D dropout (mask operand in interpret mode) keeps the output
+    scale: mean over many draws approaches the deterministic output."""
+    rng = np.random.default_rng(6)
+    b, n, c = 1, 49, 16
+    x1 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    mod = DeformCrossAttention1D(dim=c, dim_head=8, heads=8, offset_groups=4,
+                                 downsample_factor=4, offset_scale=2.0,
+                                 offset_kernel_size=6, dropout=0.3,
+                                 use_pallas=True, pallas_interpret=True)
+    params = mod.init(jax.random.PRNGKey(0), x1, x2, deterministic=True)
+    det = mod.apply(params, x1, x2, deterministic=True)
+    outs = [mod.apply(params, x1, x2, deterministic=False,
+                      rngs={"dropout": jax.random.PRNGKey(i)})
+            for i in range(24)]
+    avg = np.mean([np.asarray(o) for o in outs], axis=0)
+    # dropout is unbiased (1/keep rescale): the mean tracks the no-dropout out
+    corr = np.corrcoef(avg.ravel(), np.asarray(det).ravel())[0, 1]
+    assert corr > 0.99

@@ -88,3 +88,42 @@ def test_seed_dropout_deterministic_and_normalized():
     o_no = deform_attention_trainable(q, k, v, bias, None, None, None, 1.0,
                                       False)
     np.testing.assert_array_equal(np.asarray(o_k1), np.asarray(o_no))
+
+
+def test_deform1d_fused_matches_xla_on_hardware():
+    """1-D fused epilogue through the real Mosaic lowering: col-span-excluded
+    dummy sampled points (nd=26 -> ndp=32) + bias operand + row padding."""
+    from sml_tpu.ops.deformable import DeformCrossAttention1D
+
+    rng = np.random.default_rng(11)
+    b, n, c = 2, 101, 16
+    x1 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    kw = dict(dim=c, dim_head=8, heads=8, offset_groups=4,
+              downsample_factor=4, offset_scale=2.0, offset_kernel_size=6)
+    ref = DeformCrossAttention1D(**kw)
+    fused = DeformCrossAttention1D(**kw, use_pallas=True)
+    params = ref.init(jax.random.PRNGKey(0), x1, x2, deterministic=True)
+
+    o_ref = np.asarray(jax.jit(lambda p: ref.apply(
+        p, x1, x2, deterministic=True))(params))
+    # deterministic=True keeps the XLA chain under the serving rule unless the
+    # row pad is zero, so drive the fused path through the TRAIN route with
+    # dropout=0.0 (dropout_active False -> no mask/seed, fused because
+    # deterministic=False)
+    o_fused = np.asarray(jax.jit(lambda p: fused.apply(
+        p, x1, x2, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)}))(params))
+    np.testing.assert_allclose(o_fused, o_ref, rtol=2e-2, atol=2e-3)
+
+    def loss(mod, det):
+        return jax.jit(jax.grad(lambda p: (mod.apply(
+            p, x1, x2, deterministic=det,
+            rngs={} if det else {"dropout": jax.random.PRNGKey(1)}) ** 2).sum()))
+
+    g_ref = loss(ref, True)(params)
+    g_fused = loss(fused, False)(params)
+    for a, c_ in zip(jax.tree_util.tree_leaves(g_ref),
+                     jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(c_), np.asarray(a),
+                                   rtol=2e-2, atol=2e-2)
