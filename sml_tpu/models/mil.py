@@ -80,6 +80,7 @@ class TransLayer(nn.Module):
     dtype: Optional[jnp.dtype] = None
     seq_mesh: Optional[object] = None     # (data, seq) Mesh for token-axis sharding
     use_pallas: bool = False
+    pallas_masked: bool = True            # masks are intervals (see NystromAttention)
     pallas_interpret: bool = False
 
     @nn.compact
@@ -90,6 +91,7 @@ class TransLayer(nn.Module):
                              num_landmarks=self.dim // 2, pinv_iterations=6,
                              residual=True, dropout=self.dropout, dtype=self.dtype,
                              seq_mesh=self.seq_mesh, use_pallas=self.use_pallas,
+                             pallas_masked=self.pallas_masked,
                              pallas_interpret=self.pallas_interpret,
                              name="attn")(y, mask=mask, deterministic=deterministic)
         return x + y
@@ -124,13 +126,18 @@ class TransMIL(nn.Module):
         if mask is not None:  # cls token always attends/attended
             mask = jnp.concatenate([jnp.ones((b, 1), bool), mask], axis=1)
 
+        # wrap-padding (n not a perfect square) REPEATS valid tokens, so the
+        # mask is no longer an interval (True..False..True) — statically
+        # disable the span-fused masked path then; square buckets (the
+        # defaults: 1024/2500/4096) keep add_length == 0 and stay fused
+        masked_ok = add_length == 0
         h = TransLayer(self.hidden_dim, dtype=self.dtype, seq_mesh=self.seq_mesh,
-                       use_pallas=self.use_pallas,
+                       use_pallas=self.use_pallas, pallas_masked=masked_ok,
                        pallas_interpret=self.pallas_interpret,
                        name="layer1")(h, deterministic=deterministic, mask=mask)
         h = PPEG(self.hidden_dim, dtype=self.dtype, name="pos_layer")(h, side, side)
         h = TransLayer(self.hidden_dim, dtype=self.dtype, seq_mesh=self.seq_mesh,
-                       use_pallas=self.use_pallas,
+                       use_pallas=self.use_pallas, pallas_masked=masked_ok,
                        pallas_interpret=self.pallas_interpret,
                        name="layer2")(h, deterministic=deterministic, mask=mask)
 

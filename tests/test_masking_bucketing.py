@@ -96,3 +96,45 @@ def test_transmil_runs_with_mask_and_grads():
     g = jax.grad(loss)(params)
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_transmil_wrap_pad_mask_keeps_xla_nystrom():
+    """Wrap-padding (non-square n) REPEATS valid tokens, so the mask entering
+    the TransLayers is True..False..True — NOT an interval.  TransMIL must
+    statically route those calls off the span-fused masked path (exact XLA),
+    i.e. use_pallas output == plain output bit-for-bit."""
+    rng = np.random.default_rng(9)
+    b, n_valid, n = 1, 900, 1100           # side 34 -> add_length 56 (wrap)
+    x = jnp.asarray(rng.normal(size=(b, n, 1024)).astype(np.float32))
+    mask_np = np.zeros((b, n), bool)
+    mask_np[:, :n_valid] = True
+    mask = jnp.asarray(mask_np)
+
+    ref = TransMIL(label_dim=4)
+    fused = TransMIL(label_dim=4, use_pallas=True, pallas_interpret=True)
+    params = ref.init(jax.random.PRNGKey(0), x, deterministic=True)
+    o_ref = ref.apply(params, x, deterministic=True, mask=mask)
+    o_fused = fused.apply(params, x, deterministic=True, mask=mask)
+    np.testing.assert_array_equal(np.asarray(o_fused["logits"]),
+                                  np.asarray(o_ref["logits"]))
+
+
+def test_transmil_square_bucket_mask_takes_fused_path():
+    """At a square bucket (add_length == 0) the masks stay intervals and the
+    fused masked path engages: outputs match the XLA module to tolerance
+    (and differ bitwise, proving the kernel actually ran)."""
+    rng = np.random.default_rng(10)
+    b, n_valid, n = 1, 900, 1156            # 34x34: add_length 0
+    x = jnp.asarray(rng.normal(size=(b, n, 1024)).astype(np.float32))
+    mask_np = np.zeros((b, n), bool)
+    mask_np[:, :n_valid] = True
+    mask = jnp.asarray(mask_np)
+
+    ref = TransMIL(label_dim=4)
+    fused = TransMIL(label_dim=4, use_pallas=True, pallas_interpret=True)
+    params = ref.init(jax.random.PRNGKey(0), x, deterministic=True)
+    o_ref = ref.apply(params, x, deterministic=True, mask=mask)
+    o_fused = fused.apply(params, x, deterministic=True, mask=mask)
+    np.testing.assert_allclose(np.asarray(o_fused["logits"]),
+                               np.asarray(o_ref["logits"]),
+                               rtol=5e-4, atol=5e-4)
