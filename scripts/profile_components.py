@@ -245,6 +245,56 @@ def main():
         results["factors_fwdbwd_ms"] = timed(gfac, (grid_kv,), args.steps)
         print("factors_fwdbwd_ms", results["factors_fwdbwd_ms"], flush=True)
 
+    if has("module"):
+        # full module / branch fwd+bwd at model shapes: separates kernel cost
+        # (cpb_pallas_* + fusedattn_*) from the module's XLA glue (convs,
+        # grid-sample, head splits, residual/norm) and the branch's extras
+        # (fc1, FusionNet, pooler, heads)
+        from sml_tpu.models.deform import DeformCrossTransMIL
+        from sml_tpu.ops.deformable import DeformCrossAttention2D
+
+        x1 = jnp.asarray(rng.standard_normal((b, n, 128)), jnp.bfloat16)
+        x2 = jnp.asarray(rng.standard_normal((b, n, 128)), jnp.bfloat16)
+        attn_mod = DeformCrossAttention2D(dim=128, dim_head=64, heads=8,
+                                          dropout=args.dropout_rate,
+                                          downsample_factor=4, offset_scale=4.0,
+                                          offset_groups=8, offset_kernel_size=6,
+                                          use_pallas=True, dtype=jnp.bfloat16)
+        ap = attn_mod.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x1, x2)
+
+        def attn_loss(p, a, bq):
+            o, vg = attn_mod.apply(p, a, bq, return_vgrid=True,
+                                   deterministic=False,
+                                   rngs={"dropout": jax.random.PRNGKey(2)})
+            return (jnp.sum(o.astype(jnp.float32) ** 2)
+                    + jnp.sum(vg.astype(jnp.float32) ** 2))
+
+        gattn = jax.jit(jax.grad(attn_loss, argnums=(0, 1, 2)))
+        results["deform2d_fwdbwd_ms"] = timed(
+            lambda *a: gattn(*a)[1], (ap, x1, x2), args.steps)
+        print("deform2d_fwdbwd_ms", results["deform2d_fwdbwd_ms"], flush=True)
+
+        path_bag = jnp.asarray(rng.standard_normal((b, n, 1024)), jnp.bfloat16)
+        omic_vec = jnp.asarray(rng.standard_normal((b, 128)), jnp.bfloat16)
+        mil = DeformCrossTransMIL(n_classes=4, path_dim=128, attn_dim=2,
+                                  return_vgrid=True, dropout=args.dropout_rate,
+                                  use_pallas=True, dtype=jnp.bfloat16)
+        mp = mil.init({"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(1)}, path_bag, omic_vec)
+
+        def mil_loss(p, bag, om):
+            o = mil.apply(p, bag, om, False,
+                          rngs={"dropout": jax.random.PRNGKey(2)})
+            return sum(jnp.sum(v.astype(jnp.float32) ** 2)
+                       for k, v in o.items() if k != "omic")
+
+        gmil = jax.jit(jax.grad(mil_loss, argnums=(0, 1, 2)))
+        results["mil_branch_fwdbwd_ms"] = timed(
+            lambda *a: gmil(*a)[1], (mp, path_bag, omic_vec), args.steps)
+        print("mil_branch_fwdbwd_ms", results["mil_branch_fwdbwd_ms"],
+              flush=True)
+
     if has("nocpb"):
         # deform attention with the CPB zeroed: isolates qkv/offsets/grid-sample/
         # attention cost.  flat_bias -> None also disables the fused epilogue so

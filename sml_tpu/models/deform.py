@@ -109,10 +109,12 @@ class DeformCrossTransMIL(nn.Module):
                     mask = jnp.pad(mask, ((0, 0), (0, add)))
                 n = n + add
 
-        omic_tokens = jnp.broadcast_to(omic[:, None, :], (b, n, omic.shape[-1]))
-        # NOTE reference arg order: fusion_layer(path, omic) -> concat([path, omic])
+        # NOTE reference arg order: fusion_layer(path, omic) -> concat([path, omic]);
+        # the omic vector is passed per-sample — FusionNet folds the broadcast
+        # (reference ``DeformCrossTransMIL.py:104``'s repeat(1, N, 1)) into a
+        # per-sample term instead of materializing (B, N, omic_dim) tokens.
         h = FusionNet(self.path_dim, dtype=self.dtype,
-                      name="fusion_layer")(path, omic_tokens)
+                      name="fusion_layer")(path, omic)
 
         layer = DeformCrossTransLayer(dim=self.path_dim, attn_dim=self.attn_dim,
                                       dropout=self.dropout,

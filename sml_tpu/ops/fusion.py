@@ -30,16 +30,51 @@ class Bilinear(nn.Module):
         return jnp.einsum("bi,oij,bj->bo", x1, w, x2) + b
 
 
+class _DenseParams(nn.Module):
+    """Registers a Dense-shaped param subtree ({kernel, bias}) without
+    computing, so a module can apply the weights in a restructured (but
+    mathematically identical) form while keeping the checkpoint tree."""
+    kshape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return {"kernel": self.param("kernel", torch_kernel_init, self.kshape),
+                "bias": self.param("bias", nn.initializers.zeros,
+                                   (self.kshape[1],))}
+
+
 class FusionNet(nn.Module):
-    """Per-token concat + Dense fusion (reference ``models/DeformCrossTransMIL.py:28-38``)."""
+    """Per-token concat + Dense fusion (reference ``models/DeformCrossTransMIL.py:28-38``).
+
+    When the second stream is a per-sample VECTOR (B, d2) — the flagship
+    broadcasts one omic vector to every token
+    (``models/DeformCrossTransMIL.py:104``) — the concat matmul splits exactly:
+    ``[x1, x2] @ W == x1 @ W[:d1] + x2 @ W[d1:]``, and the x2 term (plus its
+    weight gradient) collapses to one per-sample row instead of N identical
+    token rows.  The parameter tree is identical to the concat path, so
+    checkpoints and the torch converter are unaffected.
+    """
     feature_dim: int = 128
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, gene_features: jnp.ndarray, image_features: jnp.ndarray) -> jnp.ndarray:
-        combined = jnp.concatenate([gene_features, image_features], axis=-1)
-        return nn.Dense(self.feature_dim, kernel_init=torch_kernel_init,
-                        dtype=self.dtype, name="fusion_layer")(combined)
+        if image_features.ndim == gene_features.ndim:
+            combined = jnp.concatenate([gene_features, image_features], axis=-1)
+            return nn.Dense(self.feature_dim, kernel_init=torch_kernel_init,
+                            dtype=self.dtype, name="fusion_layer")(combined)
+        assert image_features.ndim == gene_features.ndim - 1
+        d1 = gene_features.shape[-1]
+        d2 = image_features.shape[-1]
+        params = _DenseParams((d1 + d2, self.feature_dim),
+                              name="fusion_layer")()
+        k = params["kernel"]
+        b = params["bias"]
+        cdt = self.dtype or k.dtype
+        tok = jnp.dot(gene_features.astype(cdt), k[:d1].astype(cdt))
+        per_sample = (jnp.dot(image_features.astype(cdt), k[d1:].astype(cdt))
+                      + b.astype(cdt))
+        return tok + per_sample[..., None, :]
 
 
 class BilinearFusion(nn.Module):

@@ -224,13 +224,25 @@ def fused_cpb_bias(u: jnp.ndarray, v: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndar
 
 def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
                 du_ref, dv_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                *, h_rb: int, cw: int, j: int, dm: int):
+                *, h_rb: int, cw: int, j: int, dm: int, order: str = "rs"):
     """Backward: recompute h1/h2 per (row, lane-chunk), accumulate grads in VMEM.
 
-    Grid (bg, n_rb, chunks), chunk fastest.  dv (per row-block) accumulates
-    across a row-block's chunk programs (consecutive revisits; zero-init at
-    chunk 0); du is per-(row-block, chunk) and summed over row-blocks outside;
-    dw*/db* partials accumulate across all of a bg's programs.
+    Two grid orders (chosen by HBM-traffic estimate in :func:`_cpb_bwd_call`):
+
+    * ``"rs"`` — grid (bg, n_rb, chunks), chunk fastest.  dv (per row-block)
+      accumulates across a row-block's chunk programs (consecutive revisits;
+      zero-init at chunk 0); du is per-(row-block, chunk) and summed over
+      row-blocks outside.  Costs n_rb full sweeps of ``u`` plus the du-partial
+      round trip — cheap when n_rb is small.
+    * ``"sr"`` — grid (bg, chunks, n_rb), row-block fastest.  du accumulates
+      in its output block across a chunk's row-block programs (consecutive
+      revisits; zero-init at row-block 0) and is written ONCE; ``u`` is
+      fetched once per chunk; dv becomes per-chunk partials (the wsplit axis
+      is folded onto bg) summed outside — cheap when n_rb is large
+      (e.g. n_rb=50 at the 2500 shape: the "rs" du partials alone are
+      ~3 GB/branch of write+read traffic).
+
+    dw*/db* partials accumulate across all of a bg's programs in both orders.
     """
     u = u_ref[0]                                         # (dm, cw*J)
     w2 = w2_ref[:].astype(jnp.float32)                   # (1, dm)
@@ -242,11 +254,16 @@ def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
         dw2_ref[0] = jnp.zeros_like(dw2_ref[0])
         db2_ref[0] = jnp.zeros_like(db2_ref[0])
 
-    @pl.when(pl.program_id(2) == 0)
-    def _init_dv():
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+    if order == "rs":
+        @pl.when(pl.program_id(2) == 0)
+        def _init_dv():
+            dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    du_ref[0, 0] = jnp.zeros_like(du_ref[0, 0])
+        du_ref[0, 0] = jnp.zeros_like(du_ref[0, 0])
+    else:
+        @pl.when(pl.program_id(2) == 0)
+        def _init_du():
+            du_ref[0] = jnp.zeros_like(du_ref[0])
 
     def body(r, carry):
         v_row = v_ref[0, r]                              # (dm, J)
@@ -276,18 +293,43 @@ def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
         dz1 = jnp.where(h1.astype(jnp.float32) > 0, dh1, 0.0)
 
         # layer-1: h1 = relu(u + tile(v_row))
-        du_ref[0, 0] += dz1.astype(du_ref.dtype)
+        if order == "rs":
+            du_ref[0, 0] += dz1.astype(du_ref.dtype)
+        else:
+            du_ref[0] += dz1.astype(du_ref.dtype)
         dv_acc = jnp.zeros((dm, j), jnp.float32)
         for wc in range(cw):                             # fold chunk onto (dm, J)
             dv_acc = dv_acc + dz1[:, wc * j:(wc + 1) * j]
-        dv_ref[0, r] += dv_acc.astype(dv_ref.dtype)
+        if order == "rs":
+            dv_ref[0, r] += dv_acc.astype(dv_ref.dtype)
+        else:
+            # per-(chunk, row-block) partial: every row written exactly once
+            dv_ref[0, r] = dv_acc.astype(dv_ref.dtype)
         return carry
 
     jax.lax.fori_loop(0, h_rb, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _cpb_bwd_call(u, v, w1, b1, w2, dbias, interpret=False):
+def _pick_bwd_order(n_rb: int, wsplit: int, dm: int, h: int, wj: int, j: int,
+                    usize: int) -> str:
+    """Grid order with the lower HBM traffic (bytes per bg program group):
+
+    "rs" costs n_rb sweeps of u (when chunked) plus the du-partial round trip;
+    "sr" costs wsplit sweeps of v plus a dv-partial round trip.  bias/dbias
+    and the weight-grad partials are identical in both orders."""
+    u_bytes = dm * wj * usize
+    v_bytes = h * dm * j * usize
+    dv_bytes = h * dm * j * 4
+    u_rs = u_bytes if wsplit == 1 else n_rb * u_bytes
+    cost_rs = u_rs + ((2 * n_rb + 1) * u_bytes if n_rb > 1 else u_bytes) \
+        + v_bytes + dv_bytes
+    cost_sr = u_bytes + u_bytes + wsplit * v_bytes \
+        + ((2 * wsplit + 1) * dv_bytes if wsplit > 1 else dv_bytes)
+    return "sr" if cost_sr < cost_rs else "rs"
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "order"))
+def _cpb_bwd_call(u, v, w1, b1, w2, dbias, interpret=False, order=None):
     bg, dm, wj = u.shape
     _, h, _, j = v.shape
     w = wj // j
@@ -298,53 +340,105 @@ def _cpb_bwd_call(u, v, w1, b1, w2, dbias, interpret=False):
     h_rb = h // n_rb
     cw = w // wsplit
     cwj = cw * j
-    kernel = functools.partial(_bwd_kernel, h_rb=h_rb, cw=cw, j=j, dm=dm)
+    if order is None:
+        order = _pick_bwd_order(n_rb, wsplit, dm, h, wj, j, usize)
+    kernel = functools.partial(_bwd_kernel, h_rb=h_rb, cw=cw, j=j, dm=dm,
+                               order=order)
     f32 = jnp.float32
-    outs = pl.pallas_call(
-        kernel,
-        grid=(bg, n_rb, wsplit),
-        in_specs=[
+    weight_specs = [
+        pl.BlockSpec((dm, dm), lambda b, r, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((dm, 1), lambda b, r, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dm), lambda b, r, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    wgrad_specs = [
+        pl.BlockSpec((1, dm, dm), lambda b, r, s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dm, 1), lambda b, r, s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dm, 1), lambda b, r, s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1), lambda b, r, s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    wgrad_shapes = [
+        jax.ShapeDtypeStruct((bg, dm, dm), f32),            # dw1 partials
+        jax.ShapeDtypeStruct((bg, dm, 1), f32),             # db1 partials
+        jax.ShapeDtypeStruct((bg, dm, 1), f32),             # dw2 partials
+        jax.ShapeDtypeStruct((bg, 1, 1), f32),              # db2 partials
+    ]
+    if order == "rs":
+        grid = (bg, n_rb, wsplit)                            # chunk fastest
+        in_specs = [
             pl.BlockSpec((1, dm, cwj), lambda b, r, s: (b, 0, s),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h_rb, dm, j), lambda b, r, s: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dm, dm), lambda b, r, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((dm, 1), lambda b, r, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dm), lambda b, r, s: (0, 0),
-                         memory_space=pltpu.VMEM),
+            *weight_specs,
             pl.BlockSpec((1, h_rb, cwj), lambda b, r, s: (b, r, s),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
+        ]
+        out_specs = [
             # du partials per row-block: (b, r, chunk) — never revisited;
             # summed over the row-block axis by XLA below
             pl.BlockSpec((1, 1, dm, cwj), lambda b, r, s: (b, r, 0, s),
                          memory_space=pltpu.VMEM),
+            # dv accumulates across a row-block's chunk programs
             pl.BlockSpec((1, h_rb, dm, j), lambda b, r, s: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dm, dm), lambda b, r, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dm, 1), lambda b, r, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dm, 1), lambda b, r, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda b, r, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
+            *wgrad_specs,
+        ]
+        out_shape = [
             jax.ShapeDtypeStruct((bg, n_rb, dm, wj), u.dtype),  # du partials
             jax.ShapeDtypeStruct((bg, h, dm, j), f32),          # dv
-            jax.ShapeDtypeStruct((bg, dm, dm), f32),            # dw1 partials
-            jax.ShapeDtypeStruct((bg, dm, 1), f32),             # db1 partials
-            jax.ShapeDtypeStruct((bg, dm, 1), f32),             # dw2 partials
-            jax.ShapeDtypeStruct((bg, 1, 1), f32),              # db2 partials
-        ],
+            *wgrad_shapes,
+        ]
+    else:
+        grid = (bg, wsplit, n_rb)                            # row-block fastest
+        in_specs = [
+            # u fetched once per (b, chunk): revisited across row-blocks
+            pl.BlockSpec((1, dm, cwj), lambda b, s, r: (b, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_rb, dm, j), lambda b, s, r: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *weight_specs,
+            pl.BlockSpec((1, h_rb, cwj), lambda b, s, r: (b, r, s),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs = [
+            # du accumulates across a chunk's row-block programs (consecutive
+            # revisits; zero-init at row-block 0) — written once, no partials
+            pl.BlockSpec((1, dm, cwj), lambda b, s, r: (b, 0, s),
+                         memory_space=pltpu.VMEM),
+            # dv partials per chunk (wsplit folded onto bg; affine block index)
+            pl.BlockSpec((1, h_rb, dm, j),
+                         lambda b, s, r, _ws=wsplit: (b * _ws + s, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *wgrad_specs,
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((bg, dm, wj), u.dtype),        # du
+            jax.ShapeDtypeStruct((bg * wsplit, h, dm, j), f32),  # dv partials
+            *wgrad_shapes,
+        ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(u, v, w1, b1.reshape(dm, 1), w2.reshape(1, dm), dbias)
-    dup, dv, dw1p, db1p, dw2p, db2p = outs
-    du = dup[:, 0] if dup.shape[1] == 1 else dup.sum(axis=1)
+    dup, dvp, dw1p, db1p, dw2p, db2p = outs
+    if order == "rs":
+        du = dup[:, 0] if dup.shape[1] == 1 else dup.sum(axis=1)
+        dv = dvp
+    else:
+        du = dup
+        dv = dvp if wsplit == 1 else \
+            dvp.reshape(bg, wsplit, h, dm, j).sum(axis=1)
     return (du.astype(u.dtype), dv.astype(v.dtype),
             dw1p.sum(0).astype(w1.dtype), db1p.sum(0)[:, 0].astype(b1.dtype),
             dw2p.sum(0).astype(w2.dtype), db2p.sum(0)[0].astype(jnp.float32))

@@ -80,3 +80,36 @@ def test_deform2d_pallas_training_grads_match():
         lp = leaves_p[path]
         np.testing.assert_allclose(np.asarray(lp), np.asarray(lr), rtol=2e-3,
                                    atol=2e-4, err_msg=str(path))
+
+
+@pytest.mark.parametrize("force_tiling", [None, (2, 2)])
+def test_cpb_bwd_grid_orders_agree(monkeypatch, force_tiling):
+    """The two backward grid orders ("rs" chunk-fastest with du partials vs
+    "sr" row-block-fastest with dv partials) compute the same gradients; the
+    forced (wsplit=2, n_rb=2) tiling exercises the dv-partial fold and the
+    du accumulation across row-block revisits."""
+    import sml_tpu.ops.pallas.deform_attn as da
+
+    if force_tiling is not None:
+        monkeypatch.setattr(da, "_pick_tiling",
+                            lambda *a, **k: force_tiling)
+    rng = np.random.default_rng(0)
+    h, w, j, dm, bg = 8, 16, 128, 32, 4
+    wj = w * j
+    f32 = jnp.float32
+    u = jnp.asarray(rng.standard_normal((bg, dm, wj)), f32)
+    v = jnp.asarray(rng.standard_normal((bg, h, dm, j)), f32)
+    w1 = jnp.asarray(rng.standard_normal((dm, dm)), f32)
+    b1 = jnp.asarray(rng.standard_normal((dm,)), f32)
+    w2 = jnp.asarray(rng.standard_normal((dm, 1)), f32)
+    dbias = jnp.asarray(rng.standard_normal((bg, h, wj)), f32)
+
+    outs = {}
+    for order in ("rs", "sr"):
+        da._cpb_bwd_call.clear_cache()
+        outs[order] = [np.asarray(x, np.float64)
+                       for x in da._cpb_bwd_call(u, v, w1, b1, w2, dbias,
+                                                 interpret=True, order=order)]
+    names = ("du", "dv", "dw1", "db1", "dw2", "db2")
+    for name, a, b in zip(names, outs["rs"], outs["sr"]):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4, err_msg=name)
