@@ -29,3 +29,20 @@ def default_dense(features: int, use_bias: bool = True, dtype=None, name=None) -
     """Dense layer with torch-default kernel scale and zero bias."""
     return nn.Dense(features, use_bias=use_bias, kernel_init=torch_kernel_init,
                     dtype=dtype, name=name)
+
+
+class DenseParams(nn.Module):
+    """Registers a Dense-shaped param subtree ({kernel[, bias]}) without
+    computing, so a caller can apply the weights in a restructured (but
+    mathematically identical) form — e.g. inside ``shard_map`` or a split
+    matmul — while keeping the checkpoint tree identical to ``nn.Dense``."""
+    shape: tuple
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        p = {"kernel": self.param("kernel", torch_kernel_init, self.shape)}
+        if self.use_bias:
+            p["bias"] = self.param("bias", nn.initializers.zeros,
+                                   (self.shape[-1],))
+        return p

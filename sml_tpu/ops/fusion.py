@@ -14,7 +14,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sml_tpu.ops.common import torch_bilinear_init, torch_kernel_init
+from sml_tpu.ops.common import DenseParams, torch_bilinear_init, torch_kernel_init
 
 
 class Bilinear(nn.Module):
@@ -28,19 +28,6 @@ class Bilinear(nn.Module):
         w = self.param("weight", torch_bilinear_init, (self.features, in1, in2))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         return jnp.einsum("bi,oij,bj->bo", x1, w, x2) + b
-
-
-class _DenseParams(nn.Module):
-    """Registers a Dense-shaped param subtree ({kernel, bias}) without
-    computing, so a module can apply the weights in a restructured (but
-    mathematically identical) form while keeping the checkpoint tree."""
-    kshape: tuple
-
-    @nn.compact
-    def __call__(self):
-        return {"kernel": self.param("kernel", torch_kernel_init, self.kshape),
-                "bias": self.param("bias", nn.initializers.zeros,
-                                   (self.kshape[1],))}
 
 
 class FusionNet(nn.Module):
@@ -66,8 +53,8 @@ class FusionNet(nn.Module):
         assert image_features.ndim == gene_features.ndim - 1
         d1 = gene_features.shape[-1]
         d2 = image_features.shape[-1]
-        params = _DenseParams((d1 + d2, self.feature_dim),
-                              name="fusion_layer")()
+        params = DenseParams((d1 + d2, self.feature_dim),
+                             name="fusion_layer")()
         k = params["kernel"]
         b = params["bias"]
         cdt = self.dtype or k.dtype

@@ -20,7 +20,7 @@ import jax
 from flax import linen as nn
 from jax import lax
 
-from sml_tpu.ops.common import torch_kernel_init
+from sml_tpu.ops.common import DenseParams, torch_kernel_init
 from sml_tpu.ops.linear_algebra import moore_penrose_pinv
 
 _NEG_INF = -3.4028234663852886e38  # -finfo(f32).max, matching torch's mask fill value
@@ -47,20 +47,9 @@ def _fused_chains_supported(n_pad: int, m: int, dh: int, dtype,
                                           has_bias=False, has_span=has_span))
 
 
-class _DenseParams(nn.Module):
-    """Registers a Dense-shaped param subtree ({kernel[, bias]}) without computing;
-    lets the sequence-parallel path own the matmuls inside shard_map while keeping
-    the checkpoint tree identical to the single-device ``nn.Dense`` path."""
-    shape: tuple
-    use_bias: bool = True
-
-    @nn.compact
-    def __call__(self):
-        p = {"kernel": self.param("kernel", torch_kernel_init, self.shape)}
-        if self.use_bias:
-            p["bias"] = self.param("bias", nn.initializers.zeros,
-                                   (self.shape[-1],))
-        return p
+# shared with ops.fusion: keeps the checkpoint tree identical to nn.Dense while
+# the caller owns the matmul (here: inside shard_map)
+_DenseParams = DenseParams
 
 
 class NystromAttention(nn.Module):

@@ -238,9 +238,11 @@ def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
       in its output block across a chunk's row-block programs (consecutive
       revisits; zero-init at row-block 0) and is written ONCE; ``u`` is
       fetched once per chunk; dv becomes per-chunk partials (the wsplit axis
-      is folded onto bg) summed outside — cheap when n_rb is large
-      (e.g. n_rb=50 at the 2500 shape: the "rs" du partials alone are
-      ~3 GB/branch of write+read traffic).
+      is folded onto bg) summed outside — cheap when n_rb is large relative
+      to wsplit (e.g. the 4k shape's (wsplit=2, n_rb=8) tiling: "rs" pays 8
+      u re-sweeps plus a ~1.07 GB/branch du-partial round trip; measured
+      15.24 -> 14.54 ms/branch.  At 2500 the only legal tiling is (1, 1) so
+      the orders coincide; at 16k (wsplit=16, n_rb=16) "rs" correctly wins.)
 
     dw*/db* partials accumulate across all of a bg's programs in both orders.
     """

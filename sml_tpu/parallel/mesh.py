@@ -55,6 +55,13 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis_name: str = "data",
     def put(x):
         x = np.asarray(x)
         if per_host_full:
+            if x.shape[0] % pc:
+                # silent truncation would desync device rows from the host-side
+                # label/mask lists kept by evaluate()
+                raise ValueError(
+                    f"global batch dim {x.shape[0]} is not divisible by "
+                    f"process_count={pc}; pick a batch_size divisible by the "
+                    f"process count (the train CLI validates this at setup)")
             per = x.shape[0] // pc
             x = x[pi * per:(pi + 1) * per]
         return jax.make_array_from_process_local_data(sharding, x)

@@ -154,7 +154,12 @@ def seq_parallel_deform_attn_2d(params: dict, x1_l: jnp.ndarray,
         pad_rows = fused_attention_padding(n_l, j_kv, dim_head,
                                            jnp.dtype(qh.dtype).itemsize,
                                            dropout_active)
-        if pad_rows is not None:
+        # same routing rule as the single-device module: train path always
+        # fuses; the forward-only serving path (rng is None) fuses only when
+        # the local row block needs no zero padding (measured: pad copies lose
+        # to XLA's fused forward chain — bench.py --eval A/B)
+        if pad_rows is not None and (rng is not None or pallas_interpret
+                                     or pad_rows == 0):
             flatb = cpb.apply({"params": params["rel_pos_bias"]},
                               x_axis, y_local, grid_kv,
                               method=CPB2D.flat_bias)    # (b*g, n_l, J) | None

@@ -168,6 +168,9 @@ def train(config: Config, logger: Optional[MetricLogger] = None
 
     for epoch in range(start_epoch, config.epochs):
         train_loader.set_epoch(epoch)
+        # the epoch-end evaluate() below is unconditional: a mid-epoch eval
+        # landing exactly on the final iteration would duplicate it
+        epoch_end_iters = cur_iters + max(len(train_loader), 1)
         if scan_chunk is not None:
             from sml_tpu.parallel.mesh import shard_stacked_batches
 
@@ -179,7 +182,8 @@ def train(config: Config, logger: Optional[MetricLogger] = None
 
             def maybe_mid_eval(state, cur_iters):
                 if (config.eval_every_iters
-                        and cur_iters % config.eval_every_iters == 0):
+                        and cur_iters % config.eval_every_iters == 0
+                        and cur_iters < epoch_end_iters):
                     variables = state.model_variables()
                     log = {"test": evaluate(config, eval_step, variables,
                                             test_loader, mesh)}
@@ -217,7 +221,8 @@ def train(config: Config, logger: Optional[MetricLogger] = None
                 cur_iters += 1
 
                 if (config.eval_every_iters
-                        and cur_iters % config.eval_every_iters == 0):
+                        and cur_iters % config.eval_every_iters == 0
+                        and cur_iters < epoch_end_iters):
                     variables = state.model_variables()
                     test_m = evaluate(config, eval_step, variables, test_loader,
                                       mesh)

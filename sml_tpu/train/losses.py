@@ -190,15 +190,23 @@ def batch_similarity_loss(omic: jnp.ndarray, vgrid: jnp.ndarray,
     ``(N*g, ...)`` tensor as 8 row-blocks of N consecutive rows, which at
     N == g == 8 makes each "group" matrix actually one SAMPLE's 8 offset-group
     rows.  Exposed (as with ``modulation_style='reference'``) so training and
-    the gradient-parity harness can match the reference bit-for-bit.
+    the gradient-parity harness can match the reference bit-for-bit.  With a
+    ``sample_mask`` (eval attaches one to every batch, all-valid or not) the
+    masked extension below zeroes the rows whose UNDERLYING sample is padded
+    (flat row k*n+j belongs to sample (k*n+j)//g) — for an all-valid mask it
+    reduces to the verbatim reference arithmetic.
     """
     n = omic.shape[0]
     omic2 = omic.reshape(n, -1)
     g = vgrid.shape[1]
     if layout == "reference":
-        if sample_mask is not None:
-            raise ValueError("batchloss_layout='reference' does not define "
-                             "masked (variable-bag) semantics; use 'group'")
+        if g != 8:
+            # the reference literally writes view(8, N, -1); any other group
+            # count would silently pair rows from unrelated samples/groups
+            raise ValueError(
+                f"batchloss_layout='reference' replicates the reference's "
+                f"hard-coded vgrid.view(8, N, -1) and requires offset_groups "
+                f"== 8 (got {g}); use layout='group'")
         v = vgrid.reshape(n * g, -1).reshape(8, n, -1)   # ref view(8, N, -1)
     elif layout == "group":
         v = jnp.moveaxis(vgrid.reshape(n, g, -1), 1, 0)  # (g, N, F)
@@ -218,7 +226,13 @@ def batch_similarity_loss(omic: jnp.ndarray, vgrid: jnp.ndarray,
     omic2 = omic2 * m[:, None]
     sim = omic2 @ omic2.T
     sim = sim / jnp.maximum(jnp.linalg.norm(sim, axis=1, keepdims=True), 1e-30)
-    v = v * m[None, :, None]
+    if layout == "reference":
+        # flat row k*n+j of the reference's (8, N) view belongs to sample
+        # (k*n+j)//g; zero rows whose sample is padded
+        rmask = m[jnp.arange(8 * n) // g].reshape(8, n)
+        v = v * rmask[:, :, None]
+    else:
+        v = v * m[None, :, None]
     vsim = jnp.einsum("gif,gjf->gij", v, v)
     vsim = vsim / jnp.maximum(jnp.linalg.norm(vsim, axis=2, keepdims=True), 1e-30)
     diff = (sim - vsim.mean(axis=0)) ** 2 * (m[:, None] * m[None, :])

@@ -120,8 +120,11 @@ def test_device_loop_mid_epoch_eval(tmp_path):
                     debug=True)  # 6 steps/epoch, chunk gcd(4,2)=2 -> 3 dispatches
     train(config, logger=Cap())
     mid_evals = [l for l in logs if "test" in l and "epoch" not in l]
-    assert len(mid_evals) == 3  # after iters 2, 4, 6
+    # after iters 2 and 4; iter 6 is the epoch end, where the unconditional
+    # epoch-end evaluate() already runs — a mid-eval there would duplicate it
+    assert len(mid_evals) == 2
     assert all("loss" in l["test"] for l in mid_evals)
+    assert sum(1 for l in logs if "test" in l and "epoch" in l) == 1
 
 
 def test_seq_devices_validated_early():

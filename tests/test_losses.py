@@ -101,6 +101,52 @@ def test_batch_similarity_loss_scale_invariance():
     assert abs(l1 - l2) < 1e-4 * max(abs(l1), 1)
 
 
+def test_batch_similarity_reference_layout_allvalid_mask_is_unmasked():
+    """Eval attaches an all-valid sample_mask to every batch; the reference
+    layout must accept it and reduce to the verbatim unmasked arithmetic
+    (it used to raise on ANY mask, killing evaluation under the knob)."""
+    rng = np.random.default_rng(5)
+    n, f, g = 8, 16, 8
+    omic = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    vgrid = jnp.asarray(rng.normal(size=(n, g, 2, 3, 3)).astype(np.float32))
+
+    base = float(losses.batch_similarity_loss(omic, vgrid, layout="reference"))
+    masked = float(losses.batch_similarity_loss(
+        omic, vgrid, sample_mask=jnp.ones((n,), bool), layout="reference"))
+    assert abs(base - masked) < 1e-5 * max(abs(base), 1)
+
+
+def test_batch_similarity_reference_layout_pad_content_invariance():
+    """With a padded sample_mask, the masked reference layout must not depend
+    on the CONTENT of the padded rows (the eval contract: wrap-padded tail
+    rows contribute nothing)."""
+    rng = np.random.default_rng(6)
+    n, nv, f, g = 8, 6, 16, 8
+    omic = rng.normal(size=(n, f)).astype(np.float32)
+    vgrid = rng.normal(size=(n, g, 2, 3, 3)).astype(np.float32)
+    mask = np.zeros((n,), bool)
+    mask[:nv] = True
+
+    l1 = float(losses.batch_similarity_loss(
+        jnp.asarray(omic), jnp.asarray(vgrid), sample_mask=jnp.asarray(mask),
+        layout="reference"))
+    omic2, vgrid2 = omic.copy(), vgrid.copy()
+    omic2[nv:] = rng.normal(size=(n - nv, f))
+    vgrid2[nv:] = rng.normal(size=(n - nv, g, 2, 3, 3))
+    l2 = float(losses.batch_similarity_loss(
+        jnp.asarray(omic2), jnp.asarray(vgrid2), sample_mask=jnp.asarray(mask),
+        layout="reference"))
+    assert np.isfinite(l1)
+    assert abs(l1 - l2) < 1e-5 * max(abs(l1), 1)
+
+
+def test_batch_similarity_reference_layout_rejects_non8_groups():
+    omic = jnp.ones((4, 8))
+    vgrid = jnp.ones((4, 4, 2, 3, 3))
+    with pytest.raises(ValueError, match="offset_groups"):
+        losses.batch_similarity_loss(omic, vgrid, layout="reference")
+
+
 def test_orthogonal_and_kl_and_cosine():
     torch = pytest.importorskip("torch")
     import torch.nn.functional as F
