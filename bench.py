@@ -56,14 +56,15 @@ def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
             task_type: str = "diag2021", mode: str = "deformpathomic",
             use_pallas: bool = True, device_loop: bool = False,
             eval_only: bool = False, path_arch: str = "abmil",
-            mask_frac: float = 1.0) -> dict:
+            mask_frac: float = 1.0, device_data: str = "auto") -> dict:
     import jax
 
     from __graft_entry__ import _example_batch
     from sml_tpu.config import Config
     from sml_tpu.models.factory import (MASKABLE_MODES, define_net,
                                         define_optimizer, init_model)
-    from sml_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+    from sml_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                       replicate_tree, shard_batch)
     from sml_tpu.train.state import TrainState
     from sml_tpu.train.steps import make_eval_step, make_train_step
 
@@ -75,7 +76,23 @@ def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
     n_chips = len(mesh.devices.reshape(-1))
 
     model = define_net(config)
-    batch = _example_batch(config, batch_size)
+    # x_path dominates the batch bytes; the axon tunnel rejects single uploads
+    # beyond ~130 MB (HTTP 413), so large shapes generate it ON DEVICE instead
+    # of host-building + uploading.  Timing is unaffected either way — the
+    # measured loops run on a device-resident batch.
+    x_path_bytes = 4 * batch_size * fixdim * config.input_path_dim
+    gen_on_device = (device_data == "device"
+                     or (device_data == "auto" and x_path_bytes > 100e6))
+    if gen_on_device:
+        import jax.numpy as jnp
+        small = _example_batch(config, batch_size, skip_x_path=True)
+        shape = (batch_size, fixdim, config.input_path_dim)
+        sharding = batch_sharding(mesh, config.data_axis)
+        gen = jax.jit(lambda k: jax.random.normal(k, shape, jnp.float32),
+                      out_shardings=sharding)
+        batch = dict(small, x_path=gen(jax.random.PRNGKey(17)))
+    else:
+        batch = _example_batch(config, batch_size)
     if mask_frac < 1.0:
         # bucketed-bag shape: suffix validity masks (the production masked
         # path — data/bucketing.py), valid counts staggered around the target
@@ -214,6 +231,7 @@ def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
         "compute_dtype": compute_dtype,
         "batch_size": batch_size,
         "fixdim": fixdim,
+        "data_gen": "device" if gen_on_device else "host_upload",
         "steps_per_sec": steps_per_sec,
         "bags_per_sec": steps_per_sec * batch_size,
         "bags_per_sec_per_chip": steps_per_sec * batch_size / n_chips,
@@ -247,6 +265,12 @@ def main():
     ap.add_argument("--mask_frac", type=float, default=1.0,
                     help="<1.0 adds suffix validity masks (bucketed-bag path) "
                          "with ~frac of each bag valid; maskable modes only")
+    ap.add_argument("--device_data", choices=["auto", "device", "host"],
+                    default="auto",
+                    help="where the synthetic x_path is built: 'device' = "
+                         "jax.random on-chip (no tunnel upload; required beyond "
+                         "~130 MB), 'host' = numpy + device_put, 'auto' = "
+                         "device when the upload would exceed 100 MB")
     args = ap.parse_args()
 
     # The axon tunnel occasionally reports the backend UNAVAILABLE for a few
@@ -259,7 +283,8 @@ def main():
                          compute_dtype=args.dtype, task_type=args.task,
                          mode=args.mode, use_pallas=not args.no_pallas,
                          device_loop=args.device_loop, eval_only=args.eval_only,
-                         path_arch=args.path_arch, mask_frac=args.mask_frac)
+                         path_arch=args.path_arch, mask_frac=args.mask_frac,
+                         device_data=args.device_data)
     except RuntimeError as e:
         if "UNAVAILABLE" not in str(e) or os.environ.get("SML_TPU_BENCH_RETRY"):
             raise
