@@ -160,28 +160,31 @@ def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
         # measures the pure-compute step rate without per-dispatch tunnel overhead
         raw_step = make_train_step(config, model, tx, jit=False)
 
-        def steps_fn(s, k):
+        # the batch rides as a jit ARGUMENT: closing over a device array bakes
+        # it into the compile RPC body as a constant, which the axon tunnel
+        # rejects beyond ~130 MB (HTTP 413)
+        def steps_fn(s, b, k):
             def body(st, _):
-                st, m = raw_step(st, dev_batch)
+                st, m = raw_step(st, b)
                 return st, m["loss"]
             s, losses = jax.lax.scan(body, s, None, length=k)
             return s, {"loss": losses[-1]}
 
         small = 2
-        scan_small = jax.jit(lambda s: steps_fn(s, small))
-        scan_big = jax.jit(lambda s: steps_fn(s, small + steps))
+        scan_small = jax.jit(lambda s, b: steps_fn(s, b, small))
+        scan_big = jax.jit(lambda s, b: steps_fn(s, b, small + steps))
         t_compile0 = time.perf_counter()
-        _, m = scan_small(state)
+        _, m = scan_small(state, dev_batch)
         sync(m)
-        _, m = scan_big(state)
+        _, m = scan_big(state, dev_batch)
         sync(m)
         compile_sec = time.perf_counter() - t_compile0
         t0 = time.perf_counter()
-        _, m = scan_small(state)
+        _, m = scan_small(state, dev_batch)
         sync(m)
         t_small = time.perf_counter() - t0
         t0 = time.perf_counter()
-        _, m = scan_big(state)
+        _, m = scan_big(state, dev_batch)
         sync(m)
         t_big = time.perf_counter() - t0
         dt = t_big - t_small
