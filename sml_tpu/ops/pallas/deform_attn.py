@@ -62,6 +62,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _VMEM_BUDGET = 10 * 1024 * 1024   # headroom under the 16MB scoped limit (blocks 2x-buffer)
+# The backward tolerates a tighter fit: bigger tiles mean fewer block revisits
+# (less streamed-u refetch / fewer emitted partials).  Step-level A/B @4k (B=8,
+# device-loop): (2,8)@10MB = 60.1 ms vs (2,2)@13MB = 59.6 ms; 16k B=2 re-checked
+# under the (16,16) pick this budget selects.  Raise no further: 14MB left no
+# additional pick changes and erodes the double-buffering slack.
+_VMEM_BUDGET_BWD = 13 * 1024 * 1024
 _MAX_CHUNK_LANES = 8192           # cap per-op lane width (larger stores fail to lower)
 _MAX_ROWBLOCK_BYTES = 2 * 1024 * 1024  # cap the f32 bias/cotangent row block
 _HARD_VMEM = 15 * 1024 * 1024     # the chip's ~16MB scoped VMEM, minus slack
@@ -97,6 +103,7 @@ def _pick_tiling(dm: int, w: int, h: int, j: int, usize: int, bwd: bool):
     such that every per-program block is Mosaic-legal and fits the soft budget.
     Returns None when even the finest legal tiling exceeds hard VMEM capacity —
     the ONLY source of truth for :func:`pallas_cpb_supported`."""
+    budget = _VMEM_BUDGET_BWD if bwd else _VMEM_BUDGET
     candidates = []
     for s in _divisors(w):
         cwj = (w // s) * j
@@ -113,7 +120,7 @@ def _pick_tiling(dm: int, w: int, h: int, j: int, usize: int, bwd: bool):
             size = _tile_bytes(dm, h_rb, cwj, j, usize, bwd)
             if size > _HARD_VMEM:
                 continue
-            if size <= _VMEM_BUDGET:
+            if size <= budget:
                 return s, nb
             candidates.append((size, s, nb))
     if candidates:
