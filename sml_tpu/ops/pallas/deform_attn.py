@@ -129,6 +129,28 @@ def _pick_tiling(dm: int, w: int, h: int, j: int, usize: int, bwd: bool):
     return None
 
 
+def _pick_rpack(dm: int, h_rb: int, cwj: int, j: int, usize: int,
+                bwd: bool) -> int:
+    """Rows packed per forward matmul (block-diagonal weights).  1 for the
+    backward (measured slower there: its matmuls already hide behind the
+    heavier VPU recompute, and the packed f32 live ranges cost more than the
+    saved dispatches).  The live-set model (ur + v_rep + h1 in the input
+    dtype, h2 f32, plus the streamed blocks) must fit hard VMEM; h_rb < 8
+    cannot form an aligned 8-row group."""
+    if bwd or h_rb < 8:
+        return 1
+    for r in (4, 2):
+        if r * dm > 128:
+            continue
+        blocks = (2 * dm * cwj * usize          # u (double-buffered)
+                  + 2 * h_rb * cwj * 4          # bias rows
+                  + 2 * h_rb * dm * j * usize)  # v block
+        temps = r * dm * cwj * (3 * usize + 4)
+        if blocks + temps <= _HARD_VMEM:
+            return r
+    return 1
+
+
 def pallas_cpb_supported(dm: int, w: int, h: int, j: int,
                          itemsize: int = 2) -> bool:
     """Whether the kernels have a legal VMEM tiling for this shape (both
@@ -165,22 +187,66 @@ def _pick_rowblocks(h: int, wj: int) -> int:
 
 
 def _fwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,
-                *, h_rb: int, cw: int, j: int, dm: int):
+                *, h_rb: int, cw: int, j: int, dm: int, rpack: int = 1):
+    """Forward: one (row, chunk) MLP evaluation per fori_loop step.
+
+    ``rpack`` > 1 packs rpack query rows per matmul: the (dm x dm) layer-2 and
+    (1 x dm) layer-3 weights arrive pre-expanded to block-diagonal
+    (rpack*dm x rpack*dm) / (rpack x rpack*dm) form, so each iteration's two
+    matmuls cover rpack rows at once.  Bit-exact (the off-block zeros add
+    exact 0.0 to the f32 accumulation); measured 35% faster at the 4k shape
+    (5.97 -> 3.90 ms/branch) — the per-row matmuls were latency-bound, not
+    lane-bound.  Mosaic requires sublane-dim dynamic slices to be 8-aligned,
+    so the packed loop runs at 8-row granularity (8 // rpack groups per step)
+    with a single-row tail for h_rb % 8 rows.
+    """
     u = u_ref[0]                                         # (dm, cw*J) this chunk
 
-    def body(r, carry):
+    def one_row(r):
         v_row = v_ref[0, r]                              # (dm, J)
         v_rep = pltpu.repeat(v_row, cw, axis=1)          # (dm, cw*J)
         h1 = jnp.maximum(u + v_rep, 0.0)
         # keep operands in the input dtype (bf16): f32 operands halve MXU rate
-        h2 = jnp.dot(w1_ref[:].T, h1, preferred_element_type=jnp.float32)
-        h2 = jnp.maximum(h2 + b1_ref[:], 0.0)            # (dm, cw*J)
-        bias = jnp.dot(w2_ref[:], h2,
+        h2 = jnp.dot(w1_ref[:dm, :dm].T, h1,
+                     preferred_element_type=jnp.float32)
+        h2 = jnp.maximum(h2 + b1_ref[:dm], 0.0)          # (dm, cw*J)
+        bias = jnp.dot(w2_ref[:1, :dm], h2,
                        preferred_element_type=jnp.float32) + b2_ref[0, 0]
         bias_ref[0, r] = bias[0].astype(bias_ref.dtype)
+
+    if rpack == 1:
+        def body(r, carry):
+            one_row(r)
+            return carry
+
+        jax.lax.fori_loop(0, h_rb, body, 0)
+        return
+
+    ur = jnp.concatenate([u] * rpack, axis=0)            # (rpack*dm, cw*J)
+
+    def body8(i, carry):
+        v8 = v_ref[0, pl.ds(i * 8, 8)]                   # (8, dm, J): aligned
+        outs = []
+        for gi in range(8 // rpack):
+            vr = v8[gi * rpack:(gi + 1) * rpack].reshape(rpack * dm, j)
+            v_rep = pltpu.repeat(vr, cw, axis=1)         # (rpack*dm, cw*J)
+            h1 = jnp.maximum(ur + v_rep, 0.0)
+            h2 = jnp.dot(w1_ref[:].T, h1, preferred_element_type=jnp.float32)
+            h2 = jnp.maximum(h2 + b1_ref[:], 0.0)
+            outs.append(jnp.dot(w2_ref[:], h2,
+                                preferred_element_type=jnp.float32)
+                        + b2_ref[0, 0])                  # (rpack, cw*J)
+        out8 = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        bias_ref[0, pl.ds(i * 8, 8)] = out8.astype(bias_ref.dtype)
         return carry
 
-    jax.lax.fori_loop(0, h_rb, body, 0)
+    jax.lax.fori_loop(0, h_rb // 8, body8, 0)
+    if h_rb % 8:                                         # single-row tail
+        def tail(r, carry):
+            one_row(r)
+            return carry
+
+        jax.lax.fori_loop(h_rb - h_rb % 8, h_rb, tail, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -202,8 +268,20 @@ def fused_cpb_bias(u: jnp.ndarray, v: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndar
     h_rb = h // n_rb
     cw = w // wsplit
     cwj = cw * j
+    rp = _pick_rpack(dm, h_rb, cwj, j, usize, bwd=False)
 
-    kernel = functools.partial(_fwd_kernel, h_rb=h_rb, cw=cw, j=j, dm=dm)
+    kernel = functools.partial(_fwd_kernel, h_rb=h_rb, cw=cw, j=j, dm=dm,
+                               rpack=rp)
+    w1_op = w1
+    b1_op = b1.reshape(dm, 1)
+    w2_op = w2.reshape(1, dm)
+    if rp > 1:
+        # block-diagonal layer-2/3 weights: each packed row slot applies the
+        # same MLP; the off-block zeros contribute exact 0.0 to the f32 sums
+        eye = jnp.eye(rp, dtype=w1.dtype)
+        w1_op = jnp.kron(eye, w1)                         # (rp*dm, rp*dm)
+        b1_op = jnp.tile(b1_op, (rp, 1))                  # (rp*dm, 1)
+        w2_op = jnp.kron(eye, w2_op)                      # (rp, rp*dm)
 
     return pl.pallas_call(
         kernel,
@@ -213,11 +291,11 @@ def fused_cpb_bias(u: jnp.ndarray, v: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndar
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h_rb, dm, j), lambda b, r, s: (b, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dm, dm), lambda b, r, s: (0, 0),
+            pl.BlockSpec((rp * dm, rp * dm), lambda b, r, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dm, 1), lambda b, r, s: (0, 0),
+            pl.BlockSpec((rp * dm, 1), lambda b, r, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dm), lambda b, r, s: (0, 0),
+            pl.BlockSpec((rp, rp * dm), lambda b, r, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda b, r, s: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -226,7 +304,7 @@ def fused_cpb_bias(u: jnp.ndarray, v: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndar
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bg, h, wj), jnp.float32),
         interpret=interpret,
-    )(u, v, w1, b1.reshape(dm, 1), w2.reshape(1, dm), b2.reshape(1, 1))
+    )(u, v, w1_op, b1_op, w2_op, b2.reshape(1, 1))
 
 
 def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,

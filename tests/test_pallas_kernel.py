@@ -140,3 +140,35 @@ def test_cpb2d_pallas_falls_back_on_unsupported_shape(monkeypatch):
     pallas_mod = CPB2D(dim=dm, heads=g, offset_groups=g, impl="pallas")
     got = np.asarray(pallas_mod.apply(params, x_coords, y_coords, grid_kv, b))
     np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("dm,h,w,j", [
+    (16, 16, 8, 128),   # clean 8-aligned packed path (rpack=4, two groups)
+    (16, 10, 8, 128),   # packed path + 2-row single-row tail
+    (64, 16, 8, 128),   # rpack capped at 2 (r*dm <= 128)
+])
+def test_fwd_row_packing_matches_per_row(monkeypatch, dm, h, w, j):
+    """The rpack>1 forward (block-diagonal kron(I, W) weights, 8-row-aligned
+    loop + single-row tail) equals the per-row path.  On hardware the packed
+    path is bit-exact (the off-block zeros add exact 0.0 to the f32 sums);
+    interpret mode allows f32-epsilon reassociation differences."""
+    import sml_tpu.ops.pallas.deform_attn as da
+
+    rng = np.random.default_rng(0)
+    bg = 2
+    u = jnp.asarray(rng.standard_normal((bg, dm, w * j)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bg, h, dm, j)) * 0.3, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((dm, dm)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((dm,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((dm, 1)) * 0.2, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((1,)) * 0.1, jnp.float32)
+
+    ws, nb = da._pick_tiling(dm, w, h, j, 4, bwd=False)
+    assert da._pick_rpack(dm, h // nb, (w // ws) * j, j, 4, bwd=False) > 1
+
+    packed = np.asarray(da.fused_cpb_bias(u, v, w1, b1, w2, b2, interpret=True))
+    da.fused_cpb_bias.clear_cache()
+    monkeypatch.setattr(da, "_pick_rpack", lambda *a, **k: 1)
+    per_row = np.asarray(da.fused_cpb_bias(u, v, w1, b1, w2, b2, interpret=True))
+    da.fused_cpb_bias.clear_cache()
+    np.testing.assert_allclose(packed, per_row, rtol=1e-5, atol=1e-5)
