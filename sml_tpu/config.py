@@ -98,6 +98,9 @@ class Config:
 
     # --- modality fusion ---
     fusion_type: str = "concat"           # "concat" | "add" | "pofusion"
+    coattn_fusion: str = "concat"         # mcat/cmta final fusion: "concat" |
+                                          # "bilinear" (reference's ctor kwarg,
+                                          # models/model.py:560,605-606,715,777)
     skip: int = 0
     use_bilinear: int = 1
     input_size_omic: int = 431

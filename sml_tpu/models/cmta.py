@@ -81,10 +81,13 @@ class TransformerG(nn.Module):
 
 
 class CMTA(nn.Module):
+    """Only the reference's "small" geometry exists: its CMTA hard-codes 256-d
+    cross-attention/encoders against ``size_dict_WSI["small"]`` so the "big"
+    entries (wsi 512, omic 1024-stack — ``models/model.py:722-724``) are
+    dimensionally inconsistent and would crash if selected; we drop the dead
+    ``model_size_*`` knobs rather than replicate a broken switch."""
     label_dim: int = 4
     omic_sizes: Sequence[int] = (100, 100, 100, 131)
-    model_size_wsi: str = "small"
-    model_size_omic: str = "small"
     dropout: float = 0.25
     fusion: str = "concat"
     dtype: Optional[jnp.dtype] = None

@@ -105,9 +105,11 @@ def define_net(config: Config) -> nn.Module:
                    path_scale=config.path_scale, omic_scale=config.omic_scale,
                    init_max=init_max, dtype=dtype)
     if mode == "mcat":
-        return MCATSurv(label_dim=config.label_dim, dtype=dtype)
+        return MCATSurv(label_dim=config.label_dim, dtype=dtype,
+                        fusion=config.coattn_fusion)
     if mode == "cmta":
         return CMTA(label_dim=config.label_dim, dtype=dtype,
+                    fusion=config.coattn_fusion,
                     seq_mesh=_seq_mesh(config), use_pallas=use_pallas)
     if mode == "deformpathomic":
         return DeformPathomicNet(

@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from sml_tpu.ops.attention import RawMultiheadAttention
 from sml_tpu.ops.common import torch_kernel_init
+from sml_tpu.ops.fusion import BilinearFusion
 from sml_tpu.ops.pooling import AttnNetGated
 from sml_tpu.ops.snn import SNNStack
 from sml_tpu.ops.transformer import TransformerEncoder
@@ -83,6 +84,18 @@ class MCATSurv(nn.Module):
                                  dtype=self.dtype, name="mm0")(h))
             h = nn.relu(nn.Dense(size[2], kernel_init=torch_kernel_init,
                                  dtype=self.dtype, name="mm1")(h))
+        elif self.fusion == "bilinear":
+            # reference models/model.py:605-606 builds BilinearFusion(dim1=256,
+            # dim2=256, scale_dim1=8, scale_dim2=8, mmhid=256); its call site
+            # (:655) wraps both vectors in unsqueeze(0), which only survives
+            # torch.cat's rank check at B=1 (squeeze() collapses the batch dim)
+            # and BatchNorm1d only in eval — i.e. the reference's working
+            # surface is B=1 inference.  We apply the fusion batched on
+            # (B, d) directly (the CMTA call convention, :829), which is the
+            # same math at B=1 and well-defined for any B.
+            h = BilinearFusion(dim1=256, dim2=256, scale_dim1=8, scale_dim2=8,
+                               mmhid=256, dtype=self.dtype, name="mm")(
+                h_path, h_omic_pooled, deterministic=deterministic)
         else:
             raise NotImplementedError(f"fusion {self.fusion!r}")
 

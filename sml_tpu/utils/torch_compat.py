@@ -344,8 +344,11 @@ def convert_reference_state_dict(mode: str, state_dict, *, attn_dim: int = 2,
             params[f"{prefix}_attention_head"] = attn_net_gated(
                 sd, f"{prefix}_attention_head.")
             params[f"{prefix}_rho"] = dense(sd, f"{prefix}_rho.0")
-        params["mm0"] = dense(sd, "mm.0")
-        params["mm1"] = dense(sd, "mm.2")
+        if "mm.0.weight" in sd:
+            params["mm0"] = dense(sd, "mm.0")
+            params["mm1"] = dense(sd, "mm.2")
+        else:  # fusion='bilinear' variant (reference models/model.py:605-606)
+            params["mm"], stats["mm"] = bilinear_fusion(sd, "mm.")
         params["classifier"] = dense(sd, "classifier")
     elif mode == "cmta":
         params["wsi_net"] = dense(sd, "wsi_net.0")

@@ -185,6 +185,43 @@ def test_mcat_parity():
     allclose(out["S"], s_ref, what="mcat S")
 
 
+def test_mcat_bilinear_parity():
+    """MCAT with fusion='bilinear' (reference ``models/model.py:605-606``).
+
+    The reference's own call site (:655) is dead code: it wraps both pooled
+    vectors in ``unsqueeze(0)``, so ``torch.cat`` inside BilinearFusion fails
+    on rank mismatch for B>1 and ``cumprod(dim=1)`` fails on the squeezed 1-D
+    hazards at B=1.  We transplant the reference weights and run its forward
+    with ONLY the call convention fixed to the working CMTA one (:839 —
+    ``mm(vec1, vec2)`` on (B, d)), which is what our model implements."""
+    from models.model import MCAT_Surv
+
+    from sml_tpu.models.mcat import MCATSurv
+
+    torch.manual_seed(8)
+    ref = MCAT_Surv(ref_args(mode="mcat"), fusion="bilinear").eval()
+    variables = convert_reference_state_dict("mcat", ref.state_dict())
+
+    real_mm = ref.mm
+
+    class _CmtaConvention(torch.nn.Module):
+        def forward(self, v1, v2):
+            return real_mm(v1.squeeze(0), v2.squeeze(0)).unsqueeze(0)
+
+    ref.mm = _CmtaConvention()
+
+    rng = np.random.default_rng(8)
+    x_path, x_omic = rand(rng, 2, 100, 1024), rand(rng, 2, 431)
+    logits_ref, hazards_ref, s_ref = ref(
+        x_path=torch.from_numpy(x_path), x_omic=torch.from_numpy(x_omic))
+
+    out = MCATSurv(label_dim=4, fusion="bilinear").apply(
+        variables, jnp.asarray(x_path), jnp.asarray(x_omic), deterministic=True)
+    allclose(out["logits"], logits_ref, what="mcat bilinear logits")
+    allclose(out["hazards"], hazards_ref, what="mcat bilinear hazards")
+    allclose(out["S"], s_ref, what="mcat bilinear S")
+
+
 def test_cmta_parity():
     from models.model import CMTA as RefCMTA
 
