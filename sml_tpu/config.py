@@ -79,6 +79,11 @@ class Config:
     novalset: bool = False
     synthetic_size: int = 256             # samples per synthetic split (train)
     variable_bags: bool = False           # synthetic: variable bag sizes, bucketed to fixdim with masks
+    bucket_sizes: str = ""                # comma-separated bag-size buckets, e.g.
+                                          # "1024,2500,4096": batches grouped by
+                                          # bucket, one compiled program per
+                                          # bucket shape (masks make padded bags
+                                          # exact); "" = single fixdim bucket
     packed_dir: str = ""                  # dir with {Train,Val,Test}.bin packed data
                                           # (see scripts/pack_data.py); "" = per-sample readers
 
@@ -206,6 +211,12 @@ class Config:
     def grid_size(self) -> int:
         import math
         return int(math.ceil(self.fixdim ** 0.5))
+
+    def bucket_list(self) -> tuple:
+        """Parsed ``bucket_sizes`` (sorted), or () when bucketing is off."""
+        if not self.bucket_sizes:
+            return ()
+        return tuple(sorted(int(b) for b in str(self.bucket_sizes).split(",")))
 
     @classmethod
     def from_yaml(cls, path: str, overrides: Optional[List[str]] = None) -> "Config":

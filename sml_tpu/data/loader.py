@@ -151,6 +151,15 @@ class Loader:
             return
         yield from self._threaded_iter(batches)
 
+    def _batch_chunks(self, idx: np.ndarray) -> List[np.ndarray]:
+        batches = []
+        for start in range(0, len(idx), self.batch_size):
+            chunk = idx[start:start + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                continue
+            batches.append(chunk)
+        return batches
+
     def _threaded_iter(self, batches) -> Iterator[Dict[str, np.ndarray]]:
         q: Queue = Queue(maxsize=max(2, self.workers))
         stop = object()
@@ -168,3 +177,43 @@ class Loader:
                 break
             yield item
         t.join()
+
+
+class BucketedLoader(Loader):
+    """Loader that groups every batch by bag-size bucket.
+
+    The dataset must expose ``bucket_of(i) -> int`` (cheap metadata — e.g.
+    ``SyntheticDataset.bag_sizes``; HDF5 readers can read shapes without
+    data).  Each yielded batch is homogeneous in bucket, so XLA compiles ONE
+    program per bucket shape and every batch rides a compiled program; masks
+    (``bucket_bag``) make the padded rows exact.  Batch order across buckets
+    is the seeded epoch shuffle, so buckets interleave like the reference's
+    shuffled loader.  This is the variable-length-bag win over the reference,
+    which wrap-pads/subsamples everything to one hard-coded fixdim
+    (``data/dataset.py:150-181``).
+    """
+
+    def _index_batches(self) -> List[np.ndarray]:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        rng = np.random.default_rng(self.seed * 100_003 + self.epoch)
+        if self.shuffle:
+            rng.shuffle(idx)
+        by_bucket: Dict[int, List[int]] = {}
+        for i in idx:
+            by_bucket.setdefault(self.dataset.bucket_of(int(i)), []).append(i)
+        batches: List[np.ndarray] = []
+        for bucket in sorted(by_bucket):
+            bidx = np.asarray(by_bucket[bucket])
+            if self.num_shards > 1:
+                batches.extend(sharded_index_batches(
+                    bidx, self.batch_size, self.num_shards, self.shard_id,
+                    self.drop_last))
+            else:
+                batches.extend(self._batch_chunks(bidx))
+        if self.shuffle:
+            # interleave bucket programs; all shards share the seed -> same order
+            order = np.random.default_rng(
+                self.seed * 900_007 + self.epoch).permutation(len(batches))
+            batches = [batches[i] for i in order]
+        return batches

@@ -58,6 +58,31 @@ class SyntheticDataset:
         self.idx_immune = np.arange(config.input_size_omic - config.input_size_omic_immune,
                                     config.input_size_omic)
 
+        # multi-bucket mode: bags span [smallest_bucket/2, largest_bucket];
+        # precompute per-sample raw bag sizes (cheap: replays only the integer
+        # draw position of each sample's rng) so a bucketed loader can group
+        # batches without materializing 10 MB bags
+        self.buckets = (config.bucket_list()
+                        if getattr(config, "variable_bags", False) else ())
+        if self.buckets:
+            lo, hi = max(self.buckets[0] // 2, 4), self.buckets[-1]
+        else:
+            lo, hi = max(config.fixdim // 2, 4), config.fixdim
+        self._bag_lo, self._bag_hi = lo, hi
+        if getattr(config, "variable_bags", False):
+            self.bag_sizes = np.array([
+                int(np.random.default_rng(int(s)).integers(lo, hi + 1))
+                for s in self.omic_noise_seed])
+
+    def bucket_of(self, index: int) -> int:
+        """Bucketed bag length of sample ``index`` (for batch grouping)."""
+        from sml_tpu.data.bucketing import bucket_for
+
+        if not getattr(self.config, "variable_bags", False):
+            return self.config.fixdim
+        buckets = self.buckets or (self.config.fixdim,)
+        return bucket_for(int(self.bag_sizes[index]), buckets)
+
     def __len__(self) -> int:
         return self.n
 
@@ -71,7 +96,8 @@ class SyntheticDataset:
         # variable-length bags (bucketed + masked) or reference-style fixed bags
         n_bag = cfg.fixdim
         if getattr(cfg, "variable_bags", False):
-            n_bag = int(rng.integers(max(cfg.fixdim // 2, 4), cfg.fixdim + 1))
+            n_bag = int(self.bag_sizes[index])
+            rng.integers(self._bag_lo, self._bag_hi + 1)  # keep rng stream stable
         # bag: 30% signal patches near the class path-center, rest background
         n_sig = n_bag // 3
         signal = (self.path_centers[c][None, :] * 0.5
@@ -91,7 +117,8 @@ class SyntheticDataset:
         if getattr(cfg, "variable_bags", False):
             from sml_tpu.data.bucketing import bucket_bag
 
-            sample["x_path"], mask = bucket_bag(bag, buckets=(cfg.fixdim,))
+            buckets = self.buckets or (cfg.fixdim,)
+            sample["x_path"], mask = bucket_bag(bag, buckets=buckets)
             sample["mask"] = mask
         return sample
 

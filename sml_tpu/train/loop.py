@@ -61,12 +61,25 @@ def setup(config: Config, mesh=None):
         test_ds = build_datasets(config, "Test")
         val_ds = None if config.novalset else build_datasets(config, "Val")
 
-        train_loader = Loader(train_ds, local_bs, shuffle=True,
-                              drop_last=True, seed=config.seed,
-                              workers=config.workers,
-                              num_shards=pc, shard_id=pi)
-        test_loader = Loader(test_ds, config.batch_size)
-        val_loader = None if val_ds is None else Loader(val_ds, config.batch_size)
+        loader_cls = Loader
+        if config.bucket_list():
+            # mixed bag-size buckets: homogeneous batches per bucket, one
+            # compiled program per bucket shape (masks make padding exact)
+            from sml_tpu.data.loader import BucketedLoader
+            loader_cls = BucketedLoader
+            if config.device_loop:
+                raise ValueError("bucket_sizes requires per-step dispatch "
+                                 "(device_loop scans need one static shape)")
+            if not hasattr(train_ds, "bucket_of"):
+                raise ValueError(f"dataset {config.dataset!r} does not expose "
+                                 "bucket_of(i) metadata for bucket_sizes")
+        train_loader = loader_cls(train_ds, local_bs, shuffle=True,
+                                  drop_last=True, seed=config.seed,
+                                  workers=config.workers,
+                                  num_shards=pc, shard_id=pi)
+        test_loader = loader_cls(test_ds, config.batch_size)
+        val_loader = None if val_ds is None else loader_cls(val_ds,
+                                                            config.batch_size)
 
     model = define_net(config)
     rng = jax.random.PRNGKey(config.seed)
