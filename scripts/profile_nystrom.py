@@ -150,6 +150,74 @@ def landmark_block_time(b, h, n_pad, m, dh, train=True):
     return timed(fn, (q, k, x3))
 
 
+def chain_block_time(b=8, h=8, n=2560, m=128, dh=32, train=True):
+    """The two N-sized softmax chains + value matmuls exactly as the XLA
+    fallback runs them (sim1/sim3 + attn2_inv association) — how much of a
+    TransLayer the chains cost."""
+    import jax
+    import jax.numpy as jnp
+
+    ks = [jax.random.normal(jax.random.PRNGKey(i), s, jnp.bfloat16)
+          for i, s in enumerate([(b, h, n, dh), (b, h, n, dh), (b, h, m, dh),
+                                 (b, h, m, dh), (b, h, n, dh), (b, h, m, m)])]
+
+    def block(q, k, q_l, k_l, v, inv):
+        sim1 = jnp.einsum("bhid,bhjd->bhij", q, k_l)
+        sim3 = jnp.einsum("bhid,bhjd->bhij", q_l, k)
+        attn1 = jax.nn.softmax(sim1, axis=-1)
+        attn3 = jax.nn.softmax(sim3, axis=-1)
+        return (attn1 @ inv.astype(attn1.dtype)) @ (attn3 @ v)
+
+    if train:
+        fn = jax.jit(jax.grad(lambda *a: jnp.sum(block(*a).astype(jnp.float32)
+                                                 ** 2), argnums=(0, 1, 4)))
+    else:
+        fn = jax.jit(block)
+    return timed(fn, tuple(ks))
+
+
+def transformer_p_time(b=8, n=2500, d=256, use_pallas=True, train=True):
+    import jax
+    import jax.numpy as jnp
+
+    from sml_tpu.models.cmta import TransformerP
+
+    mod = TransformerP(d, dtype=jnp.bfloat16, use_pallas=use_pallas)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (b, n, d), jnp.float32)
+    variables = mod.init({"params": rng}, x, deterministic=True)
+    if train:
+        def loss_fn(v, x):
+            cls, tok = mod.apply(v, x, deterministic=True)
+            return (jnp.sum(cls.astype(jnp.float32) ** 2)
+                    + jnp.sum(tok.astype(jnp.float32) ** 2))
+        fn = jax.jit(jax.grad(loss_fn))
+    else:
+        fn = jax.jit(lambda v, x: mod.apply(v, x, deterministic=True))
+    return timed(fn, (variables, x))
+
+
+def raw_mha_time(b=8, nq=2500, nk=5, d=256, train=True):
+    import jax
+    import jax.numpy as jnp
+
+    from sml_tpu.ops.attention import RawMultiheadAttention
+
+    mod = RawMultiheadAttention(d, 1, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (b, nq, d), jnp.float32)
+    kv = jax.random.normal(jax.random.PRNGKey(1), (b, nk, d), jnp.float32)
+    variables = mod.init({"params": rng}, q, kv, kv, deterministic=True)
+    if train:
+        fn = jax.jit(jax.grad(lambda v, q, kv: jnp.sum(
+            mod.apply(v, q, kv, kv, deterministic=True)[0]
+            .astype(jnp.float32) ** 2)))
+    else:
+        fn = jax.jit(lambda v, q, kv: mod.apply(v, q, kv, kv,
+                                                deterministic=True)[0])
+    return timed(fn, (variables, q, kv))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", nargs="+", default=["all"])
@@ -178,6 +246,19 @@ def main():
                                                             use_pallas=True)
         res["translayer_transmil_xla"] = translayer_time(512, 2501,
                                                          use_pallas=False)
+        print(json.dumps(res), flush=True)
+    if want("cmta_parts"):
+        res["transformer_p_train_pallas"] = transformer_p_time(use_pallas=True)
+        res["transformer_p_train_xla"] = transformer_p_time(use_pallas=False)
+        res["transformer_g_equiv_train"] = transformer_p_time(n=4)
+        res["mha_p_in_g_train"] = raw_mha_time(nq=2500, nk=5)
+        res["mha_g_in_p_train"] = raw_mha_time(nq=5, nk=2500)
+        res["cmta_eval_fwd"] = None
+        print(json.dumps(res), flush=True)
+    if want("chains"):
+        res["chain_block_cmta_train"] = chain_block_time(dh=32, m=128)
+        res["chain_block_transmil_train"] = chain_block_time(dh=64, m=256)
+        res["cmta_step_gated"] = step_time("cmta")   # after the dh-gate fix
         print(json.dumps(res), flush=True)
     if want("pinv"):
         res["pinv_m128_train"] = pinv_time(64, 128)

@@ -41,6 +41,14 @@ def _fused_chains_supported(n_pad: int, m: int, dh: int, dtype,
         # short sequences (e.g. the ~5-token genomics stream): the chains are
         # KB-sized, XLA fuses them fine, kernel dispatch would dominate
         return False
+    if dh * usize < 128:
+        # dh is the kernel's LANE dim for q/k/v blocks; below one 128-byte
+        # lane tile Mosaic pads it out (dh=32 bf16 wastes 4x VPU/VMEM) and
+        # the fused chains measured SLOWER than XLA's fused softmax chain
+        # (cmta dh=32: 4.31 vs 3.10 ms/TransLayer, step 21.7 vs 21.1 ms;
+        # transmil dh=64 keeps the win: 17.6 vs 19.9 ms step — r4 profile,
+        # scripts/profile_nystrom.py)
+        return False
     return (fused_attention_supported(m, n_pad, dh, usize, has_mask=False,
                                       has_bias=False, has_span=has_span)
             and fused_attention_supported(n_pad, m, dh, usize, has_mask=False,

@@ -119,11 +119,16 @@ def test_pallas_masked_false_keeps_xla_path():
 
 
 def test_gate_rejects_tiny_and_misaligned():
-    assert _fused_chains_supported(1024, 32, 16, jnp.float32)
-    assert not _fused_chains_supported(64, 32, 16, jnp.float32)    # n < 4m
-    assert not _fused_chains_supported(1028, 32, 16, jnp.float32)  # n % 8
+    assert _fused_chains_supported(1024, 32, 32, jnp.float32)
+    assert not _fused_chains_supported(64, 32, 32, jnp.float32)    # n < 4m
+    assert not _fused_chains_supported(1028, 32, 32, jnp.float32)  # n % 8
     # n_pad is always a multiple of m in the module, so the %8 case only
     # guards direct callers
+    # sub-lane-tile head dims fall back to XLA (dh * itemsize < 128 bytes:
+    # Mosaic pads the lane dim 4x and the kernel measured slower — r4 profile)
+    assert not _fused_chains_supported(2560, 128, 32, jnp.bfloat16)  # cmta bf16
+    assert _fused_chains_supported(2560, 128, 32, jnp.float32)       # f32 tile ok
+    assert _fused_chains_supported(2560, 256, 64, jnp.bfloat16)      # transmil
 
 
 def test_return_attn_keeps_xla_path():
