@@ -1,0 +1,30 @@
+#!/bin/bash
+# Round-4 serial TPU measurement queue (one TPU client at a time through the
+# axon tunnel).  Each phase writes its own benchmarks/*.json incrementally so
+# partial progress survives a kill.
+set -x
+cd /root/repo
+
+# VERDICT item 9: serving sweep (eval-path bags/s for every mode + B=1 latency)
+timeout 7200 python scripts/bench_serving.py 2>&1 | tail -40
+
+# VERDICT item 7: host->device transfer + device-loop overlap
+timeout 3600 python scripts/bench_input_pipeline.py --device 2>&1 | tail -20
+
+# VERDICT item 8(b): per-bucket masked step times (the bucketed-training path)
+for fd in 1024 2500 4096; do
+  timeout 3000 python bench.py --fixdim $fd --mask_frac 0.8 --steps 20 \
+    > /tmp/bucket_step_$fd.json 2>/tmp/bucket_step_$fd.err
+  tail -1 /tmp/bucket_step_$fd.json
+done
+
+# VERDICT item 8(a): bucketed variable-length training session (quality band)
+timeout 7200 python main.py --dataset synthetic --synthetic_size 96 \
+  --bucket_sizes 1024,2500,4096 --fixdim 4096 --batch_size 8 --epochs 3 \
+  --mode deformpathomic --task_type survival \
+  --checkpoints /tmp/bucket_train_ckpt --debug 2>&1 | tail -20
+
+# VERDICT item 6: B=16@4k plateau probe
+timeout 7200 python scripts/bench_batch_scaling.py 2>&1 | tail -30
+
+echo QUEUE_DONE

@@ -53,6 +53,7 @@ tests/test_pallas_grad.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -68,6 +69,12 @@ _VMEM_BUDGET = 10 * 1024 * 1024   # headroom under the 16MB scoped limit (blocks
 # under the (16,16) pick this budget selects.  Raise no further: 14MB left no
 # additional pick changes and erodes the double-buffering slack.
 _VMEM_BUDGET_BWD = 13 * 1024 * 1024
+# Probe overrides (scripts/bench_cpb_tiling.py batch-scaling sweeps): force the
+# bwd soft budget / grid order per-process without editing the module.  Both
+# default to the tuned values above; production never sets them.
+if os.environ.get("SML_TPU_VMEM_BWD_MB"):
+    _VMEM_BUDGET_BWD = int(os.environ["SML_TPU_VMEM_BWD_MB"]) * 1024 * 1024
+_FORCE_BWD_ORDER = os.environ.get("SML_TPU_CPB_BWD_ORDER") or None
 _MAX_CHUNK_LANES = 8192           # cap per-op lane width (larger stores fail to lower)
 _MAX_ROWBLOCK_BYTES = 2 * 1024 * 1024  # cap the f32 bias/cotangent row block
 _HARD_VMEM = 15 * 1024 * 1024     # the chip's ~16MB scoped VMEM, minus slack
@@ -428,7 +435,8 @@ def _cpb_bwd_call(u, v, w1, b1, w2, dbias, interpret=False, order=None):
     cw = w // wsplit
     cwj = cw * j
     if order is None:
-        order = _pick_bwd_order(n_rb, wsplit, dm, h, wj, j, usize)
+        order = _FORCE_BWD_ORDER or _pick_bwd_order(n_rb, wsplit, dm, h, wj,
+                                                    j, usize)
     kernel = functools.partial(_bwd_kernel, h_rb=h_rb, cw=cw, j=j, dm=dm,
                                order=order)
     f32 = jnp.float32
