@@ -1,12 +1,12 @@
 #!/bin/bash
-# Round-4 serial TPU measurement queue (one TPU client at a time through the
-# axon tunnel).  Each phase writes its own benchmarks/*.json incrementally so
-# partial progress survives a kill.
+# Round-4 TPU queue, phases 2-5 (phase 1 = serving sweep runs separately).
+# Usage: r4_tpu_queue2.sh [wait_pid] — blocks until wait_pid exits first.
 set -x
 cd /root/repo
 
-# VERDICT item 9: serving sweep (eval-path bags/s for every mode + B=1 latency)
-timeout 7200 python scripts/bench_serving.py 2>&1 | tail -40
+if [ -n "$1" ]; then
+  while kill -0 "$1" 2>/dev/null; do sleep 30; done
+fi
 
 # VERDICT item 7: host->device transfer + device-loop overlap
 timeout 3600 python scripts/bench_input_pipeline.py --device 2>&1 | tail -20
@@ -27,4 +27,4 @@ timeout 7200 python main.py --dataset synthetic --synthetic_size 96 \
 # VERDICT item 6: B=16@4k plateau probe
 timeout 7200 python scripts/bench_batch_scaling.py 2>&1 | tail -30
 
-echo QUEUE_DONE
+echo QUEUE2_DONE
