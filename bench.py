@@ -356,8 +356,6 @@ def main():
     line = {"metric": f"{args.mode}_{kind}_bags_per_sec_per_chip",
             "value": round(result["bags_per_sec_per_chip"], 3),
             "unit": "bags/s/chip",
-            "vs_baseline": round(vs_baseline, 3),
-            "baseline_kind": baseline_kind,
             "fixdim": args.fixdim,
             # mfu_total = XLA-visible FLOPs + hand-counted Pallas-kernel FLOPs
             # (model convention, recompute excluded; sml_tpu/utils/flops.py);
@@ -370,7 +368,8 @@ def main():
         # shape (benchmarks/a100_roofline.md; deliberately optimistic for the
         # reference).  vs_a100_roofline divides by the PERFECT-bandwidth
         # bound — the conservative ratio; the band divides by the realistic
-        # 56-80%-of-perfect range.
+        # 56-80%-of-perfect range.  These are the headline comparisons;
+        # vs_baseline (a 1-core CPU torch denominator) trails, labeled.
         from sml_tpu.utils.flops import a100_roofline_bags_per_sec
         rl = a100_roofline_bags_per_sec(args.batch_size, args.fixdim)
         line["vs_a100_roofline"] = round(
@@ -378,6 +377,8 @@ def main():
         line["vs_a100_realistic_band"] = [
             round(result["bags_per_sec_per_chip"] / rl["realistic_hi"], 2),
             round(result["bags_per_sec_per_chip"] / rl["realistic_lo"], 2)]
+    line["vs_baseline"] = round(vs_baseline, 3)
+    line["baseline_kind"] = baseline_kind
     if args.full:
         print(json.dumps(result, indent=2))
     print(json.dumps(line))

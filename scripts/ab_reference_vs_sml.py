@@ -30,6 +30,15 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 sys.path.insert(0, os.path.join(REPO, "tests"))  # helpers.ref_patch
 
 
+def _dump_partial(history, tag):
+    """Crash insurance for multi-hour arms: flush per-epoch history to a sidecar
+    JSON (AB_PARTIAL_JSON env var names the file) after every epoch."""
+    path = os.environ.get("AB_PARTIAL_JSON")
+    if path:
+        with open(path, "w") as f:
+            json.dump({"arm": tag, "history": history}, f)
+
+
 def torch_forward(mode, model, batch, torch):
     """Reference per-mode forward -> (hazards, S, extras) [train_test.py:327-348]."""
     t = lambda k: torch.from_numpy(batch[k])
@@ -108,6 +117,7 @@ def run_torch(config, epochs_batches, test_batches, ref_model, torch):
                     np.concatenate(times))
         history.append({"cindex": float(ci), "loss": float(loss)})
         print(f"  torch epoch {len(history)}: test cindex {ci:.4f}", flush=True)
+        _dump_partial(history, "torch")
     return history
 
 
@@ -147,11 +157,12 @@ def run_jax(config, epochs_batches, test_batches, init_variables):
                     np.concatenate(times))
         history.append({"cindex": float(ci), "loss": float(metrics["loss"])})
         print(f"  sml_tpu epoch {len(history)}: test cindex {ci:.4f}", flush=True)
+        _dump_partial(history, "sml")
     return history
 
 
 def ab_mode(mode, fixdim, synthetic_size, batch_size, epochs, torch,
-            patch_ref=False):
+            patch_ref=False, arm="both"):
     from types import SimpleNamespace
 
     import models.model as ref_model_mod
@@ -214,24 +225,32 @@ def ab_mode(mode, fixdim, synthetic_size, batch_size, epochs, torch,
     variables = convert_reference_state_dict(mode, ref_model.state_dict())
     variables = {k: v for k, v in variables.items()}
 
-    print(f"== {mode} (fixdim={fixdim}, n={synthetic_size}, {epochs} epochs) ==",
-          flush=True)
-    t0 = time.time()
-    jax_hist = run_jax(config, epochs_batches, test_batches, variables)
-    t_jax = time.time() - t0
-    t0 = time.time()
-    torch_hist = run_torch(config, epochs_batches, test_batches, ref_model, torch)
-    t_torch = time.time() - t0
-    return {
+    print(f"== {mode} (fixdim={fixdim}, n={synthetic_size}, {epochs} epochs, "
+          f"arm={arm}) ==", flush=True)
+    jax_hist = torch_hist = None
+    t_jax = t_torch = None
+    if arm in ("both", "sml"):
+        t0 = time.time()
+        jax_hist = run_jax(config, epochs_batches, test_batches, variables)
+        t_jax = time.time() - t0
+    if arm in ("both", "torch"):
+        t0 = time.time()
+        torch_hist = run_torch(config, epochs_batches, test_batches, ref_model,
+                               torch)
+        t_torch = time.time() - t0
+    result = {
         "mode": mode, "fixdim": fixdim, "cohort": synthetic_size,
         "epochs": epochs, "batch_size": batch_size,
-        "torch_final_cindex": torch_hist[-1]["cindex"],
-        "sml_final_cindex": jax_hist[-1]["cindex"],
-        "torch_best_cindex": max(h["cindex"] for h in torch_hist),
-        "sml_best_cindex": max(h["cindex"] for h in jax_hist),
-        "torch_history": torch_hist, "sml_history": jax_hist,
-        "torch_wall_sec": t_torch, "sml_wall_sec": t_jax,
     }
+    if torch_hist is not None:
+        result.update(torch_final_cindex=torch_hist[-1]["cindex"],
+                      torch_best_cindex=max(h["cindex"] for h in torch_hist),
+                      torch_history=torch_hist, torch_wall_sec=t_torch)
+    if jax_hist is not None:
+        result.update(sml_final_cindex=jax_hist[-1]["cindex"],
+                      sml_best_cindex=max(h["cindex"] for h in jax_hist),
+                      sml_history=jax_hist, sml_wall_sec=t_jax)
+    return result
 
 
 def main():
@@ -245,6 +264,14 @@ def main():
                     help="256 = shape-patched reference (powered A/B); "
                          "2500 = unpatched reference shape (tiny cohorts only)")
     ap.add_argument("--cohort", type=int, default=96)
+    ap.add_argument("--deform_batch", type=int, default=0,
+                    help="override deformpathomic batch size (0 = auto)")
+    ap.add_argument("--arm", choices=["both", "torch", "sml"], default="both",
+                    help="run only one framework's arm (batch streams and init "
+                         "are deterministic, so arms can run in separate "
+                         "processes and be merged)")
+    ap.add_argument("--out", default=None,
+                    help="output JSON (default benchmarks/ab_synthetic.json)")
     args = ap.parse_args()
 
     import jax
@@ -260,29 +287,31 @@ def main():
     torch.cuda.FloatTensor = torch.FloatTensor
     torch.manual_seed(0)
 
-    out = os.path.join(REPO, "benchmarks", "ab_synthetic.json")
+    out = args.out or os.path.join(REPO, "benchmarks", "ab_synthetic.json")
     results = []
     if os.path.exists(out):  # merge with prior runs (keyed by mode)
         with open(out) as f:
             results = json.load(f)
     for mode in args.modes:
         if mode == "deformpathomic":
-            bs = 8 if args.deform_fixdim != 2500 else 4
+            bs = args.deform_batch or (8 if args.deform_fixdim != 2500 else 4)
             r = ab_mode(mode, args.deform_fixdim, args.deform_cohort, bs,
                         args.deform_epochs, torch,
-                        patch_ref=args.deform_fixdim != 2500)
+                        patch_ref=args.deform_fixdim != 2500, arm=args.arm)
         else:
-            r = ab_mode(mode, 64, args.cohort, 8, args.epochs, torch)
+            r = ab_mode(mode, 64, args.cohort, 8, args.epochs, torch,
+                        arm=args.arm)
         results = [x for x in results
                    if not (x["mode"] == mode and x["fixdim"] == r["fixdim"])] + [r]
         with open(out, "w") as f:
             json.dump(results, f, indent=2)
 
     print("\nmode             torch-best  sml-best   torch-final  sml-final")
+    fmt = lambda r, k: (f"{r[k]:.4f}" if k in r else "  --  ")
     for r in results:
-        print(f"{r['mode']:16s} {r['torch_best_cindex']:.4f}      "
-              f"{r['sml_best_cindex']:.4f}     {r['torch_final_cindex']:.4f}       "
-              f"{r['sml_final_cindex']:.4f}")
+        print(f"{r['mode']:16s} {fmt(r, 'torch_best_cindex')}      "
+              f"{fmt(r, 'sml_best_cindex')}     {fmt(r, 'torch_final_cindex')}"
+              f"       {fmt(r, 'sml_final_cindex')}")
 
 
 if __name__ == "__main__":

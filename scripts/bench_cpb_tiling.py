@@ -45,11 +45,15 @@ def main():
     bg = args.batch * args.groups
     rng = np.random.default_rng(0)
 
-    u = jnp.asarray(rng.standard_normal((bg, dm, w * j)), jnp.bfloat16)
-    v = jnp.asarray(rng.standard_normal((bg, h, dm, j)), jnp.bfloat16)
+    dx = jnp.asarray(rng.standard_normal((bg, w * j)), jnp.float32)
+    dy = jnp.asarray(rng.standard_normal((bg, h, j)), jnp.float32)
+    w0x = jnp.asarray(rng.standard_normal((dm,)), jnp.bfloat16)
+    w0y = jnp.asarray(rng.standard_normal((dm,)), jnp.bfloat16)
+    b0 = jnp.asarray(rng.standard_normal((dm,)), jnp.bfloat16)
     w1 = jnp.asarray(rng.standard_normal((dm, dm)), jnp.bfloat16)
     b1 = jnp.asarray(rng.standard_normal((dm,)), jnp.bfloat16)
     w2 = jnp.asarray(rng.standard_normal((dm, 1)), jnp.bfloat16)
+    b2 = jnp.asarray(rng.standard_normal((1,)), jnp.float32)
     dbias = jnp.asarray(rng.standard_normal((bg, h, w * j)), jnp.float32)
 
     orig_pick = da._pick_tiling
@@ -80,7 +84,8 @@ def main():
     for order in ("rs", "sr"):
         try:
             da._cpb_bwd_call.clear_cache()
-            fn = lambda: da._cpb_bwd_call(u, v, w1, b1, w2, dbias, order=order)
+            fn = lambda: da._cpb_bwd_call(dx, dy, w0x, w0y, b0, w1, b1, w2, dbias,
+                                             order=order)
             ms = timed(fn)
             results[f"bwd_order_{order}_ms"] = ms
             print(f"bwd order={order}: {ms:.3f} ms", flush=True)
@@ -104,7 +109,7 @@ def main():
             # same arg shapes across variants: drop the cached executable or
             # every variant would silently reuse the first compile
             da._cpb_bwd_call.clear_cache()
-            fn = lambda: da._cpb_bwd_call(u, v, w1, b1, w2, dbias)
+            fn = lambda: da._cpb_bwd_call(dx, dy, w0x, w0y, b0, w1, b1, w2, dbias)
             ms = timed(fn)
             results[f"bwd_nrb{nb}_ms"] = ms
             print(f"bwd n_rb={nb}: {ms:.3f} ms", flush=True)
@@ -128,8 +133,8 @@ def main():
             da._pick_tiling = forcedf
             try:
                 da.fused_cpb_bias.clear_cache()
-                fn = lambda: da.fused_cpb_bias(u, v, w1, b1, w2,
-                                               jnp.zeros((1,), jnp.bfloat16))
+                fn = lambda: da.fused_cpb_bias(dx, dy, w0x, w0y, b0,
+                                               w1, b1, w2, b2)
                 ms = timed(fn)
                 results[f"fwd_nrb{nb}_ms"] = ms
                 print(f"fwd n_rb={nb}: {ms:.3f} ms", flush=True)

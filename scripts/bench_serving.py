@@ -45,8 +45,17 @@ def main():
         cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--eval",
                "--steps", "30"] + extra
         print(f"== {tag}: {' '.join(cmd[1:])}", flush=True)
-        proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
-                              timeout=3000)
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                                  timeout=3000)
+        except subprocess.TimeoutExpired as e:
+            # remote compiles are 1-5 min per shape; record the timeout and keep
+            # sweeping instead of aborting the remaining tags
+            print(f"  TIMEOUT after {e.timeout}s — skipping {tag}", flush=True)
+            results[tag] = {"error": f"timeout after {e.timeout}s"}
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=2)
+            continue
         line = None
         for ln in proc.stdout.splitlines():
             ln = ln.strip()

@@ -229,17 +229,19 @@ def main():
         print("maskgen_ms", results["maskgen_ms"], flush=True)
 
     if has("factors"):
-        # CPB factor-table construction (u/v build incl. the (BG, W, dm, J) ->
-        # (BG, dm, W*J) transpose) fwd+bwd wrt grid_kv — XLA glue around the kernel
+        # CPB displacement-table construction fwd+bwd wrt grid_kv — XLA glue
+        # around the kernel.  Round 5: the fat u/v layer-1 tables are built
+        # IN-KERNEL, so this is only the thin signed-log dx/dy build (was
+        # 6.2 ms/branch at the 4k shape when it included the u/v build).
         mod_f = CPB2D(dim=32, heads=8, offset_groups=g, impl="pallas",
                       dtype=jnp.bfloat16)
         bound = mod_f.bind(mod_f.init(jax.random.PRNGKey(0), x_axis, y_axis,
                                       grid_kv, b))
 
         def fac_loss(gkv):
-            u, v, *_ = bound.factors(x_axis, y_axis, gkv)
-            return (jnp.sum(u.astype(jnp.float32) ** 2)
-                    + jnp.sum(v.astype(jnp.float32) ** 2))
+            dxf, dyf, *_ = bound.factors(x_axis, y_axis, gkv)
+            return (jnp.sum(dxf.astype(jnp.float32) ** 2)
+                    + jnp.sum(dyf.astype(jnp.float32) ** 2))
 
         gfac = jax.jit(jax.grad(fac_loss))
         results["factors_fwdbwd_ms"] = timed(gfac, (grid_kv,), args.steps)

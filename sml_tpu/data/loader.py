@@ -193,6 +193,27 @@ class BucketedLoader(Loader):
     (``data/dataset.py:150-181``).
     """
 
+    def _bucket_populations(self) -> Dict[int, int]:
+        counts: Dict[int, int] = {}
+        for i in range(len(self.dataset)):
+            b = self.dataset.bucket_of(int(i))
+            counts[b] = counts.get(b, 0) + 1
+        return counts
+
+    def __len__(self) -> int:
+        # Per-bucket batching: each bucket drops (or wrap-pads) its OWN
+        # remainder, so the flat n // global_bs of Loader.__len__ would
+        # overestimate steps_per_epoch (LR horizon, epoch_end_iters).
+        # Bucket membership is fixed per sample, so this is shuffle-independent.
+        global_bs = self.batch_size * self.num_shards
+        total = 0
+        for n_b in self._bucket_populations().values():
+            if self.drop_last:
+                total += n_b // global_bs
+            else:
+                total += (n_b + global_bs - 1) // global_bs
+        return total
+
     def _index_batches(self) -> List[np.ndarray]:
         n = len(self.dataset)
         idx = np.arange(n)
@@ -203,8 +224,21 @@ class BucketedLoader(Loader):
         for i in idx:
             by_bucket.setdefault(self.dataset.bucket_of(int(i)), []).append(i)
         batches: List[np.ndarray] = []
+        global_bs = self.batch_size * self.num_shards
         for bucket in sorted(by_bucket):
             bidx = np.asarray(by_bucket[bucket])
+            if self.drop_last and 0 < len(bidx) < global_bs:
+                # Unlike unbucketed drop_last (where the dropped tail rotates
+                # with the shuffle), bucket membership is FIXED — an
+                # undersized bucket would be silently excluded from training
+                # every epoch.
+                import warnings
+
+                warnings.warn(
+                    f"bucket {bucket} holds {len(bidx)} samples < global batch "
+                    f"{global_bs} and drop_last=True: these samples would NEVER "
+                    f"train. Merge them into a larger bucket (coarsen "
+                    f"bucket_sizes) or lower batch_size.", stacklevel=2)
             if self.num_shards > 1:
                 batches.extend(sharded_index_batches(
                     bidx, self.batch_size, self.num_shards, self.shard_id,

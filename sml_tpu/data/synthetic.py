@@ -59,9 +59,12 @@ class SyntheticDataset:
                                     config.input_size_omic)
 
         # multi-bucket mode: bags span [smallest_bucket/2, largest_bucket];
-        # precompute per-sample raw bag sizes (cheap: replays only the integer
-        # draw position of each sample's rng) so a bucketed loader can group
-        # batches without materializing 10 MB bags
+        # precompute per-sample raw bag sizes (cheap: one integers() draw from a
+        # fresh per-sample generator — the FIRST word of the stream, NOT the old
+        # in-__getitem__ position after the omic normal(431) draw, so round-4
+        # variable_bags sizes differ from the pre-round-4 stream; behavior is
+        # self-consistent since __getitem__ reads bag_sizes directly) so a
+        # bucketed loader can group batches without materializing 10 MB bags
         self.buckets = (config.bucket_list()
                         if getattr(config, "variable_bags", False) else ())
         if self.buckets:

@@ -141,28 +141,28 @@ class CPB2D(nn.Module):
 
     def factors(self, x_coords: jnp.ndarray, y_coords: jnp.ndarray,
                 grid_kv: jnp.ndarray):
-        """Separable layer-1 tables + raw layer-2/3 params (for the Pallas kernel).
+        """Signed-log displacement tables + raw MLP params (for the Pallas
+        kernel).  Round 5: the separable layer-1 u/v tables (67 MB each per
+        branch at the 4k shape) are built INSIDE the kernels from these thin
+        tables — their XLA-side build + backward measured 6.2 ms/branch.
 
-        Returns (u, v, w1, b1, w2, b2) with
-          u: (BG, dim, W*J) — column table, lane order wcol*J + j ("j fastest",
-             matching ``pltpu.repeat``'s tiling of the per-row table)
-          v: (BG, H, dim, J) — row table (layer-1 bias folded in)
+        Returns (dx, dy, w0x, w0y, b0, w1, b1, w2, b2) with
+          dx: (BG, W*J) f32 — column displacements, lane order wcol*J + j
+             ("j fastest", matching ``pltpu.repeat``'s tiling of the per-row
+             table)
+          dy: (BG, H, J) f32 — row displacements
         """
         cdt = self.dtype or jnp.float32
         signlog = lambda p: jnp.sign(p) * jnp.log(jnp.abs(p) + 1.0)
         dx = signlog(x_coords[None, :, None] - grid_kv[:, None, :, 0])  # (BG, W, J)
         dy = signlog(y_coords[None, :, None] - grid_kv[:, None, :, 1])  # (BG, H, J)
-        # build u directly in (BG, dim, W, J) order — a transposed build here
-        # cost a measured ~2.7 ms/branch relayout at the 4k shape
-        u = (dx[:, None, :, :].astype(cdt)
-             * self.w0[0].astype(cdt)[None, :, None, None])     # (BG, dim, W, J)
-        bg, d = u.shape[0], u.shape[1]
-        u = u.reshape(bg, d, -1)
-        v = (dy[:, :, None, :].astype(cdt)
-             * self.w0[1][None, None, :, None].astype(cdt)
-             + self.b0[None, None, :, None].astype(cdt))               # (BG, H, dim, J)
-        return u, v, self.w1.astype(cdt), self.b1.astype(cdt), \
-            self.w2.astype(cdt), self.b2.astype(cdt)
+        bg = dx.shape[0]
+        return (dx.reshape(bg, -1).astype(jnp.float32),
+                dy.astype(jnp.float32),
+                self.w0[0].astype(cdt), self.w0[1].astype(cdt),
+                self.b0.astype(cdt), self.w1.astype(cdt),
+                self.b1.astype(cdt), self.w2.astype(cdt),
+                self.b2.astype(cdt))
 
     def flat_bias(self, x_coords: jnp.ndarray, y_coords: jnp.ndarray,
                   grid_kv: jnp.ndarray) -> Optional[jnp.ndarray]:
@@ -176,12 +176,11 @@ class CPB2D(nn.Module):
 
         w, h = x_coords.shape[0], y_coords.shape[0]
         bg, j, _ = grid_kv.shape
-        u, v, w1c, b1c, w2c, b2c = self.factors(x_coords, y_coords, grid_kv)
-        if not pallas_cpb_supported(u.shape[1], w, h, j,
-                                    jnp.dtype(u.dtype).itemsize):
+        facs = self.factors(x_coords, y_coords, grid_kv)
+        if not pallas_cpb_supported(self.dim, w, h, j,
+                                    jnp.dtype(facs[2].dtype).itemsize):
             return None
-        flat = cpb_bias_trainable(u, v, w1c, b1c, w2c, b2c,
-                                  self.pallas_interpret)     # (BG, H, W*J)
+        flat = cpb_bias_trainable(*facs, self.pallas_interpret)  # (BG, H, W*J)
         return flat.reshape(bg, h * w, j)
 
     def __call__(self, x_coords: jnp.ndarray, y_coords: jnp.ndarray,
@@ -199,10 +198,10 @@ class CPB2D(nn.Module):
             from sml_tpu.ops.pallas.deform_attn import (cpb_bias_trainable,
                                                         pallas_cpb_supported)
 
-            u, v, w1c, b1c, w2c, b2c = self.factors(x_coords, y_coords, grid_kv)
-            if pallas_cpb_supported(u.shape[1], w, h, j,
-                                    jnp.dtype(u.dtype).itemsize):
-                flat = cpb_bias_trainable(u, v, w1c, b1c, w2c, b2c,
+            facs = self.factors(x_coords, y_coords, grid_kv)
+            if pallas_cpb_supported(self.dim, w, h, j,
+                                    jnp.dtype(facs[2].dtype).itemsize):
+                flat = cpb_bias_trainable(*facs,
                                           self.pallas_interpret)   # (BG, H, W*J)
                 bias = flat.reshape(bg, h * w, j, 1)
             else:

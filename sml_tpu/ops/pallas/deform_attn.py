@@ -12,24 +12,32 @@ the attention chain):
    exact {0,1} mask operand in interpret mode).
 
 The CPB pair keeps the (dim, lanes) layer activations VMEM-resident in BOTH
-directions:
+directions.  Round 5 folds the separable LAYER-1 FACTOR TABLES into the kernels
+too: the operands are the raw signed-log displacement tables dx (BG, W*J) /
+dy (BG, H, J) plus the layer-1 weights (w0x, w0y, b0), and the u/v tiles are
+built in VMEM — the (BG, dm, W*J) u and (BG, H, dm, J) v tensors (67 MB each
+per branch at the 4k shape) never exist in HBM in either direction.  Their
+XLA-side build + backward previously measured 6.2 ms/branch of the 4k step
+(scripts/profile_components.py ``factors``), dominated by the dm-broadcast
+relayouts and the (BG, dm, W*J) du round trip.
 
 forward, per offset group / query-grid row-block / lane chunk:
-    h1   = relu(u_chunk + tile(v_row, cw))   layer-1 from separable factor tables
+    u    = w0x * dx_chunk                    layer-1 column table, built in VMEM
+    v_r  = w0y * dy_row + b0                 layer-1 row table, built per row
+    h1   = relu(u + tile(v_r, cw))           layer-1
     h2   = relu(w1^T @ h1 + b1)              layer-2 (dim x dim)
     bias = w2^T @ h2 + b2                    layer-3 -> one (1, cw*J) bias row piece
 
-backward: recompute h1/h2 per row, emit du/dv plus per-program weight-grad partials
-(summed over the batch*group axis outside).  The XLA formulation round-trips the
-activations (~GBs) through HBM even with remat.
+backward: recompute h1/h2 per row, accumulate du in a VMEM scratch and project
+it onto (d_dx = w0x^T du, dw0x = sum_l du * dx) once per block; the per-row dv
+fold projects onto (d_dy = w0y^T dv_acc, dw0y, db0) immediately.  Per-program
+weight-grad partials are summed over the batch*group axis outside.
 
 Tiling (round 3): the lane-chunk loop is a GRID dimension, not an in-kernel loop —
-``u`` streams from HBM one (dm, cw*J) chunk at a time instead of holding the full
-(dm, W*J) table in VMEM.  That lifts the capacity gate that previously rejected
-16k-patch bags (W=128, J=1024: the u table alone was 2 x 8.4 MB bf16 against 16 MB
-VMEM).  Grid order (bg, row-block, chunk) with chunk fastest keeps the v/bias/dv
-blocks VMEM-resident across a row-block's chunks (consecutive revisits); the du
-blocks are unique per (row-block, chunk) program and summed over row-blocks by XLA.
+the lane axis streams one cw*J chunk at a time.  Grid order (bg, row-block,
+chunk) with chunk fastest keeps the bias/d_dy blocks VMEM-resident across a
+row-block's chunks (consecutive revisits); the d_dx blocks are emitted per
+(row-block, chunk) and summed over row-blocks by XLA (tiny: (BG, n_rb, W*J)).
 
 Layout/sizing notes (hard-won on v5e):
 * lane order of the flattened column table ``u`` is w*J + j ("j fastest"), exactly
@@ -92,17 +100,21 @@ def _row_aligned(h_rb: int, h: int) -> bool:
 def _tile_bytes(dm: int, h_rb: int, cwj: int, j: int, usize: int,
                 bwd: bool) -> int:
     """Per-program VMEM bytes for one (wsplit, n_rb) tiling choice (2x = Pallas
-    double-buffering of streamed blocks)."""
-    u2 = 2 * dm * cwj * usize                     # u chunk
+    double-buffering of streamed blocks).  The u/v factor tiles are built
+    in-kernel (round 5), so the streamed operands are only the thin dx/dy
+    displacement tables; u lives once as a computed VMEM value."""
+    dx2 = 2 * cwj * 4                             # dx chunk (f32)
+    dy2 = 2 * h_rb * j * 4                        # dy row block (f32)
+    u1 = dm * cwj * usize                         # in-kernel u tile (single)
     bias2 = 2 * h_rb * cwj * 4                    # bias / dbias row block
     if not bwd:
-        v2 = 2 * h_rb * dm * j * usize
         temps = 4 * dm * cwj * 4
-        return u2 + bias2 + v2 + temps
-    v2 = 2 * h_rb * dm * j * (usize + 4)          # v block + dv accumulator block
-    du2 = 2 * dm * cwj * usize                    # du block (per-program)
+        return dx2 + dy2 + u1 + bias2 + temps
+    ddx2 = 2 * cwj * 4                            # d_dx block
+    ddy2 = 2 * h_rb * j * 4                       # d_dy block
+    du1 = dm * cwj * 4                            # du accumulator scratch (f32)
     temps = 6 * dm * cwj * 4
-    return u2 + bias2 + v2 + du2 + temps
+    return dx2 + dy2 + u1 + bias2 + ddx2 + ddy2 + du1 + temps
 
 
 def _pick_tiling(dm: int, w: int, h: int, j: int, usize: int, bwd: bool):
@@ -149,9 +161,10 @@ def _pick_rpack(dm: int, h_rb: int, cwj: int, j: int, usize: int,
     for r in (4, 2):
         if r * dm > 128:
             continue
-        blocks = (2 * dm * cwj * usize          # u (double-buffered)
-                  + 2 * h_rb * cwj * 4          # bias rows
-                  + 2 * h_rb * dm * j * usize)  # v block
+        blocks = (dm * cwj * usize              # in-kernel u tile
+                  + 2 * cwj * 4                 # dx chunk
+                  + 2 * h_rb * j * 4            # dy rows
+                  + 2 * h_rb * cwj * 4)         # bias rows
         temps = r * dm * cwj * (3 * usize + 4)
         if blocks + temps <= _HARD_VMEM:
             return r
@@ -193,8 +206,29 @@ def _pick_rowblocks(h: int, wj: int) -> int:
     return 1
 
 
-def _fwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,
-                *, h_rb: int, cw: int, j: int, dm: int, rpack: int = 1):
+def _build_u(dx_ref, w0x_ref, cdt):
+    """(dm, cw*J) layer-1 column tile from the dx chunk: u = w0x * dx.
+    Built in VMEM (round 5) — was a streamed HBM operand before."""
+    dm = w0x_ref.shape[0]
+    dxc = dx_ref[:].astype(cdt)                          # (1, cw*J)
+    return w0x_ref[:] * jnp.broadcast_to(dxc, (dm, dxc.shape[-1]))
+
+
+def _build_v_rows(dy_rows, w0y_ref, b0_ref, cdt):
+    """(k*dm, J) layer-1 row tile for k consecutive query rows:
+    v_r = w0y * dy_r + b0, stacked along sublanes (row-major blocks, matching
+    the kron(I, W) block-diagonal packed weights)."""
+    dm = w0y_ref.shape[0]
+    k, j = dy_rows.shape
+    rows = [w0y_ref[:] * jnp.broadcast_to(dy_rows[i:i + 1].astype(cdt), (dm, j))
+            + b0_ref[:] for i in range(k)]
+    return rows[0] if k == 1 else jnp.concatenate(rows, axis=0)
+
+
+def _fwd_kernel(dx_ref, dy_ref, w0x_ref, w0y_ref, b0_ref, w1_ref, b1_ref,
+                w2_ref, b2_ref, bias_ref,
+                *, h_rb: int, cw: int, j: int, dm: int, rpack: int = 1,
+                cdt=None):
     """Forward: one (row, chunk) MLP evaluation per fori_loop step.
 
     ``rpack`` > 1 packs rpack query rows per matmul: the (dm x dm) layer-2 and
@@ -207,10 +241,11 @@ def _fwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,
     so the packed loop runs at 8-row granularity (8 // rpack groups per step)
     with a single-row tail for h_rb % 8 rows.
     """
-    u = u_ref[0]                                         # (dm, cw*J) this chunk
+    u = _build_u(dx_ref, w0x_ref, cdt)                   # (dm, cw*J) this chunk
 
     def one_row(r):
-        v_row = v_ref[0, r]                              # (dm, J)
+        dy_row = dy_ref[0, pl.ds(r, 1)]                  # (1, J)
+        v_row = _build_v_rows(dy_row, w0y_ref, b0_ref, cdt)   # (dm, J)
         v_rep = pltpu.repeat(v_row, cw, axis=1)          # (dm, cw*J)
         h1 = jnp.maximum(u + v_rep, 0.0)
         # keep operands in the input dtype (bf16): f32 operands halve MXU rate
@@ -232,10 +267,11 @@ def _fwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,
     ur = jnp.concatenate([u] * rpack, axis=0)            # (rpack*dm, cw*J)
 
     def body8(i, carry):
-        v8 = v_ref[0, pl.ds(i * 8, 8)]                   # (8, dm, J): aligned
+        dy8 = dy_ref[0, pl.ds(i * 8, 8)]                 # (8, J): aligned
         outs = []
         for gi in range(8 // rpack):
-            vr = v8[gi * rpack:(gi + 1) * rpack].reshape(rpack * dm, j)
+            vr = _build_v_rows(dy8[gi * rpack:(gi + 1) * rpack],
+                               w0y_ref, b0_ref, cdt)     # (rpack*dm, J)
             v_rep = pltpu.repeat(vr, cw, axis=1)         # (rpack*dm, cw*J)
             h1 = jnp.maximum(ur + v_rep, 0.0)
             h2 = jnp.dot(w1_ref[:].T, h1, preferred_element_type=jnp.float32)
@@ -257,18 +293,25 @@ def _fwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_cpb_bias(u: jnp.ndarray, v: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
+def fused_cpb_bias(dx: jnp.ndarray, dy: jnp.ndarray, w0x: jnp.ndarray,
+                   w0y: jnp.ndarray, b0: jnp.ndarray,
+                   w1: jnp.ndarray, b1: jnp.ndarray,
                    w2: jnp.ndarray, b2: jnp.ndarray,
                    interpret: bool = False) -> jnp.ndarray:
-    """bias (BG, H, W*J) f32 [lane order w*J+j] from CPB factor tables.
+    """bias (BG, H, W*J) f32 [lane order w*J+j] from signed-log displacement
+    tables; the layer-1 factor tiles u = w0x*dx / v = w0y*dy + b0 are built
+    in VMEM (round 5 — never in HBM).
 
-    u: (BG, dm, W*J);  v: (BG, H, dm, J);  w1 (dm, dm), b1 (dm,), w2 (dm, 1)
-    [one bias head per group], b2 (1,).
+    dx: (BG, W*J) f32 [lane order w*J + j];  dy: (BG, H, J) f32;
+    w0x/w0y/b0 (dm,), w1 (dm, dm), b1 (dm,), w2 (dm, 1) [one bias head per
+    group], b2 (1,) — all in the compute dtype (bf16 in production).
     """
-    bg, dm, wj = u.shape
-    _, h, _, j = v.shape
+    bg, wj = dx.shape
+    _, h, j = dy.shape
     w = wj // j
-    usize = jnp.dtype(u.dtype).itemsize
+    dm = w1.shape[0]
+    cdt = w1.dtype
+    usize = jnp.dtype(cdt).itemsize
     tiling = _pick_tiling(dm, w, h, j, usize, bwd=False)
     assert tiling is not None, "caller must check pallas_cpb_supported first"
     wsplit, n_rb = tiling
@@ -278,7 +321,7 @@ def fused_cpb_bias(u: jnp.ndarray, v: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndar
     rp = _pick_rpack(dm, h_rb, cwj, j, usize, bwd=False)
 
     kernel = functools.partial(_fwd_kernel, h_rb=h_rb, cw=cw, j=j, dm=dm,
-                               rpack=rp)
+                               rpack=rp, cdt=cdt)
     w1_op = w1
     b1_op = b1.reshape(dm, 1)
     w2_op = w2.reshape(1, dm)
@@ -294,9 +337,15 @@ def fused_cpb_bias(u: jnp.ndarray, v: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndar
         kernel,
         grid=(bg, n_rb, wsplit),
         in_specs=[
-            pl.BlockSpec((1, dm, cwj), lambda b, r, s: (b, 0, s),
+            pl.BlockSpec((1, cwj), lambda b, r, s: (b, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h_rb, dm, j), lambda b, r, s: (b, r, 0, 0),
+            pl.BlockSpec((1, h_rb, j), lambda b, r, s: (b, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dm, 1), lambda b, r, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dm, 1), lambda b, r, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dm, 1), lambda b, r, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rp * dm, rp * dm), lambda b, r, s: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -311,38 +360,49 @@ def fused_cpb_bias(u: jnp.ndarray, v: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndar
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bg, h, wj), jnp.float32),
         interpret=interpret,
-    )(u, v, w1_op, b1_op, w2_op, b2.reshape(1, 1))
+    )(dx, dy, w0x.reshape(dm, 1), w0y.reshape(dm, 1), b0.reshape(dm, 1),
+      w1_op, b1_op, w2_op, b2.reshape(1, 1))
 
 
-def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
-                du_ref, dv_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                *, h_rb: int, cw: int, j: int, dm: int, order: str = "rs"):
+def _bwd_kernel(dx_ref, dy_ref, w0x_ref, w0y_ref, b0_ref, w1_ref, b1_ref,
+                w2_ref, dbias_ref,
+                ddx_ref, ddy_ref, dw0x_ref, dw0y_ref, db0_ref,
+                dw1_ref, db1_ref, dw2_ref, db2_ref, du_scr,
+                *, h_rb: int, cw: int, j: int, dm: int, n_rb: int,
+                order: str = "rs", cdt=None):
     """Backward: recompute h1/h2 per (row, lane-chunk), accumulate grads in VMEM.
+
+    The u/v factor tiles are rebuilt in VMEM (round 5) and their cotangents
+    are PROJECTED in-kernel: du accumulates in a (dm, cw*J) f32 scratch and is
+    folded once per block into d_dx = w0x^T du and dw0x = sum_l du * dx; the
+    per-row dv fold projects immediately onto d_dy = w0y^T dv_acc, dw0y, db0.
+    The (BG, dm, W*J) du / (BG, H, dm, J) dv tensors never exist in HBM.
 
     Two grid orders (chosen by HBM-traffic estimate in :func:`_cpb_bwd_call`):
 
-    * ``"rs"`` — grid (bg, n_rb, chunks), chunk fastest.  dv (per row-block)
+    * ``"rs"`` — grid (bg, n_rb, chunks), chunk fastest.  d_dy (per row-block)
       accumulates across a row-block's chunk programs (consecutive revisits;
-      zero-init at chunk 0); du is per-(row-block, chunk) and summed over
-      row-blocks outside.  Costs n_rb full sweeps of ``u`` plus the du-partial
-      round trip — cheap when n_rb is small.
-    * ``"sr"`` — grid (bg, chunks, n_rb), row-block fastest.  du accumulates
-      in its output block across a chunk's row-block programs (consecutive
-      revisits; zero-init at row-block 0) and is written ONCE; ``u`` is
-      fetched once per chunk; dv becomes per-chunk partials (the wsplit axis
-      is folded onto bg) summed outside — cheap when n_rb is large relative
-      to wsplit (e.g. the 4k shape's (wsplit=2, n_rb=8) tiling: "rs" pays 8
-      u re-sweeps plus a ~1.07 GB/branch du-partial round trip; measured
-      15.24 -> 14.54 ms/branch.  At 2500 the only legal tiling is (1, 1) so
-      the orders coincide; at 16k (wsplit=16, n_rb=16) "rs" correctly wins.)
+      zero-init at chunk 0); the du scratch is per-program, folded into
+      per-(row-block, chunk) d_dx partials summed over row-blocks outside.
+    * ``"sr"`` — grid (bg, chunks, n_rb), row-block fastest.  The du scratch
+      accumulates across a chunk's row-block programs (zero-init at row-block
+      0) and folds into d_dx ONCE at the last row-block; d_dy becomes
+      per-chunk partials (the wsplit axis is folded onto bg) summed outside.
 
+    With the factor streams gone both orders move only KBs; they are kept for
+    the equivalence test and because the fold points differ.
     dw*/db* partials accumulate across all of a bg's programs in both orders.
     """
-    u = u_ref[0]                                         # (dm, cw*J)
+    u = _build_u(dx_ref, w0x_ref, cdt)                   # (dm, cw*J)
     w2 = w2_ref[:].astype(jnp.float32)                   # (1, dm)
+    w0x_f = w0x_ref[:].astype(jnp.float32)               # (dm, 1)
+    w0y_f = w0y_ref[:].astype(jnp.float32)               # (dm, 1)
 
     @pl.when((pl.program_id(1) == 0) & (pl.program_id(2) == 0))
     def _init_weight_grads():
+        dw0x_ref[0] = jnp.zeros_like(dw0x_ref[0])
+        dw0y_ref[0] = jnp.zeros_like(dw0y_ref[0])
+        db0_ref[0] = jnp.zeros_like(db0_ref[0])
         dw1_ref[0] = jnp.zeros_like(dw1_ref[0])
         db1_ref[0] = jnp.zeros_like(db1_ref[0])
         dw2_ref[0] = jnp.zeros_like(dw2_ref[0])
@@ -350,20 +410,21 @@ def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
 
     if order == "rs":
         @pl.when(pl.program_id(2) == 0)
-        def _init_dv():
-            dv_ref[0] = jnp.zeros_like(dv_ref[0])
+        def _init_ddy():
+            ddy_ref[0] = jnp.zeros_like(ddy_ref[0])
 
-        du_ref[0, 0] = jnp.zeros_like(du_ref[0, 0])
+        du_scr[...] = jnp.zeros_like(du_scr)             # per-program partial
     else:
         @pl.when(pl.program_id(2) == 0)
         def _init_du():
-            du_ref[0] = jnp.zeros_like(du_ref[0])
+            du_scr[...] = jnp.zeros_like(du_scr)
 
     def body(r, carry):
-        v_row = v_ref[0, r]                              # (dm, J)
+        dy_row = dy_ref[0, pl.ds(r, 1)]                  # (1, J) f32
+        v_row = _build_v_rows(dy_row, w0y_ref, b0_ref, cdt)   # (dm, J)
         v_rep = pltpu.repeat(v_row, cw, axis=1)          # (dm, cw*J)
 
-        h1 = jnp.maximum(u + v_rep, 0.0)                 # input dtype (bf16)
+        h1 = jnp.maximum(u + v_rep, 0.0)                 # compute dtype (bf16)
         z2 = jnp.dot(w1_ref[:].T, h1,
                      preferred_element_type=jnp.float32) + b1_ref[:]
         h2 = jnp.maximum(z2, 0.0)                        # (dm, cw*J) f32
@@ -378,7 +439,7 @@ def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
         dz2 = jnp.where(z2 > 0, dh2, 0.0)
 
         # layer-2: z2 = w1^T h1 + b1
-        dz2_c = dz2.astype(u.dtype)
+        dz2_c = dz2.astype(cdt)
         dw1_ref[0] += jax.lax.dot_general(h1, dz2_c, (((1,), (1,)), ((), ())),
                                           preferred_element_type=jnp.float32)
         db1_ref[0] += jnp.sum(dz2, axis=1, keepdims=True)
@@ -386,48 +447,72 @@ def _bwd_kernel(u_ref, v_ref, w1_ref, b1_ref, w2_ref, dbias_ref,
         # relu mask in f32: the target does not support bf16 comparisons
         dz1 = jnp.where(h1.astype(jnp.float32) > 0, dh1, 0.0)
 
-        # layer-1: h1 = relu(u + tile(v_row))
-        if order == "rs":
-            du_ref[0, 0] += dz1.astype(du_ref.dtype)
-        else:
-            du_ref[0] += dz1.astype(du_ref.dtype)
+        # layer-1 column table: accumulate du, fold at the block boundary
+        du_scr[...] += dz1
         dv_acc = jnp.zeros((dm, j), jnp.float32)
         for wc in range(cw):                             # fold chunk onto (dm, J)
             dv_acc = dv_acc + dz1[:, wc * j:(wc + 1) * j]
+        # layer-1 row table, projected immediately:
+        # v_row = w0y * dy_row + b0  =>  d_dy = w0y^T dv, dw0y = sum_j dv*dy, db0
+        ddy_row = jax.lax.dot_general(w0y_f, dv_acc, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
         if order == "rs":
-            dv_ref[0, r] += dv_acc.astype(dv_ref.dtype)
+            ddy_ref[0, pl.ds(r, 1)] += ddy_row.astype(ddy_ref.dtype)
         else:
             # per-(chunk, row-block) partial: every row written exactly once
-            dv_ref[0, r] = dv_acc.astype(dv_ref.dtype)
+            ddy_ref[0, pl.ds(r, 1)] = ddy_row.astype(ddy_ref.dtype)
+        dy_c = dy_row.astype(cdt).astype(jnp.float32)    # bf16-rounded like fwd
+        dw0y_ref[0] += jnp.sum(
+            dv_acc * jnp.broadcast_to(dy_c, (dm, j)), axis=1, keepdims=True)
+        db0_ref[0] += jnp.sum(dv_acc, axis=1, keepdims=True)
         return carry
 
     jax.lax.fori_loop(0, h_rb, body, 0)
 
+    def _fold_du():
+        du = du_scr[...]                                 # (dm, cw*J) f32
+        ddx = jax.lax.dot_general(
+            w0x_f, du, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(ddx_ref.dtype)
+        if order == "rs":
+            ddx_ref[0] = ddx                             # block (1, 1, cw*J)
+        else:
+            ddx_ref[...] = ddx                           # block (1, cw*J)
+        dx_c = dx_ref[:].astype(cdt).astype(jnp.float32)          # (1, cw*J)
+        dw0x_ref[0] += jnp.sum(
+            du * jnp.broadcast_to(dx_c, du.shape), axis=1, keepdims=True)
+
+    if order == "rs":
+        _fold_du()                                       # per-program partial
+    else:
+        @pl.when(pl.program_id(2) == n_rb - 1)
+        def _fold_last():
+            _fold_du()
+
 
 def _pick_bwd_order(n_rb: int, wsplit: int, dm: int, h: int, wj: int, j: int,
                     usize: int) -> str:
-    """Grid order with the lower HBM traffic (bytes per bg program group):
-
-    "rs" costs n_rb sweeps of u (when chunked) plus the du-partial round trip;
-    "sr" costs wsplit sweeps of v plus a dv-partial round trip.  bias/dbias
-    and the weight-grad partials are identical in both orders."""
-    u_bytes = dm * wj * usize
-    v_bytes = h * dm * j * usize
-    dv_bytes = h * dm * j * 4
-    u_rs = u_bytes if wsplit == 1 else n_rb * u_bytes
-    cost_rs = u_rs + ((2 * n_rb + 1) * u_bytes if n_rb > 1 else u_bytes) \
-        + v_bytes + dv_bytes
-    cost_sr = u_bytes + u_bytes + wsplit * v_bytes \
-        + ((2 * wsplit + 1) * dv_bytes if wsplit > 1 else dv_bytes)
+    """Grid order with the lower HBM traffic (bytes per bg program group).
+    Round 5: with the factor streams folded in-kernel both orders move only
+    the thin dx/dy tables and their partials — "rs" refetches dx per
+    row-block and round-trips d_dx partials; "sr" refetches dy per chunk and
+    round-trips d_dy partials.  bias/dbias dominate and are identical."""
+    cost_rs = n_rb * wj * 4 + h * j * 4 \
+        + ((2 * n_rb + 1) * wj * 4 if n_rb > 1 else wj * 4)
+    cost_sr = wj * 4 + wsplit * h * j * 4 \
+        + ((2 * wsplit + 1) * h * j * 4 if wsplit > 1 else h * j * 4)
     return "sr" if cost_sr < cost_rs else "rs"
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "order"))
-def _cpb_bwd_call(u, v, w1, b1, w2, dbias, interpret=False, order=None):
-    bg, dm, wj = u.shape
-    _, h, _, j = v.shape
+def _cpb_bwd_call(dx, dy, w0x, w0y, b0, w1, b1, w2, dbias, interpret=False,
+                  order=None):
+    bg, wj = dx.shape
+    _, h, j = dy.shape
     w = wj // j
-    usize = jnp.dtype(u.dtype).itemsize
+    dm = w1.shape[0]
+    cdt = w1.dtype
+    usize = jnp.dtype(cdt).itemsize
     tiling = _pick_tiling(dm, w, h, j, usize, bwd=True)
     assert tiling is not None, "caller must check pallas_cpb_supported first"
     wsplit, n_rb = tiling
@@ -438,17 +523,29 @@ def _cpb_bwd_call(u, v, w1, b1, w2, dbias, interpret=False, order=None):
         order = _FORCE_BWD_ORDER or _pick_bwd_order(n_rb, wsplit, dm, h, wj,
                                                     j, usize)
     kernel = functools.partial(_bwd_kernel, h_rb=h_rb, cw=cw, j=j, dm=dm,
-                               order=order)
+                               n_rb=n_rb, order=order, cdt=cdt)
     f32 = jnp.float32
     weight_specs = [
-        pl.BlockSpec((dm, dm), lambda b, r, s: (0, 0),
+        pl.BlockSpec((dm, 1), lambda b, r, s: (0, 0),        # w0x
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((dm, 1), lambda b, r, s: (0, 0),
+        pl.BlockSpec((dm, 1), lambda b, r, s: (0, 0),        # w0y
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, dm), lambda b, r, s: (0, 0),
+        pl.BlockSpec((dm, 1), lambda b, r, s: (0, 0),        # b0
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((dm, dm), lambda b, r, s: (0, 0),       # w1
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((dm, 1), lambda b, r, s: (0, 0),        # b1
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dm), lambda b, r, s: (0, 0),        # w2
                      memory_space=pltpu.VMEM),
     ]
     wgrad_specs = [
+        pl.BlockSpec((1, dm, 1), lambda b, r, s: (b, 0, 0),  # dw0x
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dm, 1), lambda b, r, s: (b, 0, 0),  # dw0y
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dm, 1), lambda b, r, s: (b, 0, 0),  # db0
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((1, dm, dm), lambda b, r, s: (b, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, dm, 1), lambda b, r, s: (b, 0, 0),
@@ -459,6 +556,9 @@ def _cpb_bwd_call(u, v, w1, b1, w2, dbias, interpret=False, order=None):
                      memory_space=pltpu.VMEM),
     ]
     wgrad_shapes = [
+        jax.ShapeDtypeStruct((bg, dm, 1), f32),             # dw0x partials
+        jax.ShapeDtypeStruct((bg, dm, 1), f32),             # dw0y partials
+        jax.ShapeDtypeStruct((bg, dm, 1), f32),             # db0 partials
         jax.ShapeDtypeStruct((bg, dm, dm), f32),            # dw1 partials
         jax.ShapeDtypeStruct((bg, dm, 1), f32),             # db1 partials
         jax.ShapeDtypeStruct((bg, dm, 1), f32),             # dw2 partials
@@ -467,55 +567,56 @@ def _cpb_bwd_call(u, v, w1, b1, w2, dbias, interpret=False, order=None):
     if order == "rs":
         grid = (bg, n_rb, wsplit)                            # chunk fastest
         in_specs = [
-            pl.BlockSpec((1, dm, cwj), lambda b, r, s: (b, 0, s),
+            pl.BlockSpec((1, cwj), lambda b, r, s: (b, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h_rb, dm, j), lambda b, r, s: (b, r, 0, 0),
+            pl.BlockSpec((1, h_rb, j), lambda b, r, s: (b, r, 0),
                          memory_space=pltpu.VMEM),
             *weight_specs,
             pl.BlockSpec((1, h_rb, cwj), lambda b, r, s: (b, r, s),
                          memory_space=pltpu.VMEM),
         ]
         out_specs = [
-            # du partials per row-block: (b, r, chunk) — never revisited;
-            # summed over the row-block axis by XLA below
-            pl.BlockSpec((1, 1, dm, cwj), lambda b, r, s: (b, r, 0, s),
+            # d_dx partials per row-block: (b, r, chunk) — never revisited;
+            # summed over the row-block axis by XLA below (tiny: n_rb * W*J)
+            pl.BlockSpec((1, 1, cwj), lambda b, r, s: (b, r, s),
                          memory_space=pltpu.VMEM),
-            # dv accumulates across a row-block's chunk programs
-            pl.BlockSpec((1, h_rb, dm, j), lambda b, r, s: (b, r, 0, 0),
+            # d_dy accumulates across a row-block's chunk programs
+            pl.BlockSpec((1, h_rb, j), lambda b, r, s: (b, r, 0),
                          memory_space=pltpu.VMEM),
             *wgrad_specs,
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((bg, n_rb, dm, wj), u.dtype),  # du partials
-            jax.ShapeDtypeStruct((bg, h, dm, j), f32),          # dv
+            jax.ShapeDtypeStruct((bg, n_rb, wj), f32),      # d_dx partials
+            jax.ShapeDtypeStruct((bg, h, j), f32),          # d_dy
             *wgrad_shapes,
         ]
     else:
         grid = (bg, wsplit, n_rb)                            # row-block fastest
         in_specs = [
-            # u fetched once per (b, chunk): revisited across row-blocks
-            pl.BlockSpec((1, dm, cwj), lambda b, s, r: (b, 0, s),
+            # dx fetched once per (b, chunk): revisited across row-blocks
+            pl.BlockSpec((1, cwj), lambda b, s, r: (b, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h_rb, dm, j), lambda b, s, r: (b, r, 0, 0),
+            pl.BlockSpec((1, h_rb, j), lambda b, s, r: (b, r, 0),
                          memory_space=pltpu.VMEM),
+            # weight specs are constant index maps — order-agnostic
             *weight_specs,
             pl.BlockSpec((1, h_rb, cwj), lambda b, s, r: (b, r, s),
                          memory_space=pltpu.VMEM),
         ]
         out_specs = [
-            # du accumulates across a chunk's row-block programs (consecutive
-            # revisits; zero-init at row-block 0) — written once, no partials
-            pl.BlockSpec((1, dm, cwj), lambda b, s, r: (b, 0, s),
+            # d_dx folded once from the du scratch at the last row-block
+            pl.BlockSpec((1, cwj), lambda b, s, r: (b, s),
                          memory_space=pltpu.VMEM),
-            # dv partials per chunk (wsplit folded onto bg; affine block index)
-            pl.BlockSpec((1, h_rb, dm, j),
-                         lambda b, s, r, _ws=wsplit: (b * _ws + s, r, 0, 0),
+            # d_dy partials per chunk (wsplit folded onto bg; affine index)
+            pl.BlockSpec((1, h_rb, j),
+                         lambda b, s, r, _ws=wsplit: (b * _ws + s, r, 0),
                          memory_space=pltpu.VMEM),
+            # wgrad specs index only on the leading (bg) grid arg — order-agnostic
             *wgrad_specs,
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((bg, dm, wj), u.dtype),        # du
-            jax.ShapeDtypeStruct((bg * wsplit, h, dm, j), f32),  # dv partials
+            jax.ShapeDtypeStruct((bg, wj), f32),            # d_dx
+            jax.ShapeDtypeStruct((bg * wsplit, h, j), f32),  # d_dy partials
             *wgrad_shapes,
         ]
     outs = pl.pallas_call(
@@ -524,42 +625,52 @@ def _cpb_bwd_call(u, v, w1, b1, w2, dbias, interpret=False, order=None):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((dm, cwj), f32)],         # du accumulator
         interpret=interpret,
-    )(u, v, w1, b1.reshape(dm, 1), w2.reshape(1, dm), dbias)
-    dup, dvp, dw1p, db1p, dw2p, db2p = outs
+    )(dx, dy, w0x.reshape(dm, 1), w0y.reshape(dm, 1), b0.reshape(dm, 1),
+      w1, b1.reshape(dm, 1), w2.reshape(1, dm), dbias)
+    ddxp, ddyp = outs[:2]
+    dw0xp, dw0yp, db0p, dw1p, db1p, dw2p, db2p = outs[2:]
     if order == "rs":
-        du = dup[:, 0] if dup.shape[1] == 1 else dup.sum(axis=1)
-        dv = dvp
+        ddx = ddxp[:, 0] if ddxp.shape[1] == 1 else ddxp.sum(axis=1)
+        ddy = ddyp
     else:
-        du = dup
-        dv = dvp if wsplit == 1 else \
-            dvp.reshape(bg, wsplit, h, dm, j).sum(axis=1)
-    return (du.astype(u.dtype), dv.astype(v.dtype),
+        ddx = ddxp
+        ddy = ddyp if wsplit == 1 else \
+            ddyp.reshape(bg, wsplit, h, j).sum(axis=1)
+    return (ddx.astype(dx.dtype), ddy.astype(dy.dtype),
+            dw0xp.sum(0)[:, 0].astype(w0x.dtype),
+            dw0yp.sum(0)[:, 0].astype(w0y.dtype),
+            db0p.sum(0)[:, 0].astype(b0.dtype),
             dw1p.sum(0).astype(w1.dtype), db1p.sum(0)[:, 0].astype(b1.dtype),
             dw2p.sum(0).astype(w2.dtype), db2p.sum(0)[0].astype(jnp.float32))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def cpb_bias_trainable(u, v, w1, b1, w2, b2, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def cpb_bias_trainable(dx, dy, w0x, w0y, b0, w1, b1, w2, b2, interpret=False):
     """Differentiable fused CPB bias: Pallas forward + Pallas backward.
 
     Same contract as :func:`fused_cpb_bias`; backward recomputes the VMEM
-    activations (no residuals) and returns exact grads for all six inputs.
+    activations (no residuals) and returns exact grads for all nine inputs
+    (incl. the displacement tables and the layer-1 weights, round 5).
     """
-    return fused_cpb_bias(u, v, w1, b1, w2, b2, interpret=interpret)
+    return fused_cpb_bias(dx, dy, w0x, w0y, b0, w1, b1, w2, b2,
+                          interpret=interpret)
 
 
-def _cpb_fwd(u, v, w1, b1, w2, b2, interpret):
-    return fused_cpb_bias(u, v, w1, b1, w2, b2, interpret=interpret), \
-        (u, v, w1, b1, w2)
+def _cpb_fwd(dx, dy, w0x, w0y, b0, w1, b1, w2, b2, interpret):
+    return fused_cpb_bias(dx, dy, w0x, w0y, b0, w1, b1, w2, b2,
+                          interpret=interpret), \
+        (dx, dy, w0x, w0y, b0, w1, b1, w2)
 
 
 def _cpb_bwd(interpret, res, dbias):
-    u, v, w1, b1, w2 = res
-    du, dv, dw1, db1, dw2, db2 = _cpb_bwd_call(u, v, w1, b1, w2,
-                                               dbias.astype(jnp.float32),
-                                               interpret=interpret)
-    return du, dv, dw1, db1, dw2, db2.reshape(1).astype(jnp.float32)
+    dx, dy, w0x, w0y, b0, w1, b1, w2 = res
+    (ddx, ddy, dw0x, dw0y, db0, dw1, db1, dw2,
+     db2) = _cpb_bwd_call(dx, dy, w0x, w0y, b0, w1, b1, w2,
+                          dbias.astype(jnp.float32), interpret=interpret)
+    return (ddx, ddy, dw0x, dw0y, db0, dw1, db1, dw2,
+            db2.reshape(1).astype(jnp.float32))
 
 
 cpb_bias_trainable.defvjp(_cpb_fwd, _cpb_bwd)
@@ -943,16 +1054,18 @@ def _deform_attn_bwd(keep_prob, interpret, res, dout):
 deform_attention_trainable.defvjp(_deform_attn_fwd, _deform_attn_bwd)
 
 
-def fused_bias_attention_weights(q, k, u, v, w1, b1, w2, b2, interpret=False):
+def fused_bias_attention_weights(q, k, dx, dy, w0x, w0y, b0, w1, b1, w2, b2,
+                                 interpret=False):
     """attn (BG, N, J): fused-CPB bias kernel + XLA sim/softmax.
 
-    q (BG, N, D) already scaled; k (BG, J, D); tables as in :func:`fused_cpb_bias`.
-    N = H*W with query index iy*W + ix.
+    q (BG, N, D) already scaled; k (BG, J, D); displacement tables/params as
+    in :func:`fused_cpb_bias`.  N = H*W with query index iy*W + ix.
     """
     bg, n, d = q.shape
-    _, h, dm, j = v.shape
+    _, h, j = dy.shape
     w = n // h
-    bias = fused_cpb_bias(u, v, w1, b1, w2, b2, interpret=interpret)
+    bias = fused_cpb_bias(dx, dy, w0x, w0y, b0, w1, b1, w2, b2,
+                          interpret=interpret)
     bias = bias.reshape(bg, h * w, j).astype(jnp.float32)  # (BG, N, J): XLA reshape
     sim = jnp.einsum("bnd,bjd->bnj", q.astype(jnp.float32),
                      k.astype(jnp.float32)) + bias

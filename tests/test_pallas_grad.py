@@ -97,8 +97,11 @@ def test_cpb_bwd_grid_orders_agree(monkeypatch, force_tiling):
     h, w, j, dm, bg = 8, 16, 128, 32, 4
     wj = w * j
     f32 = jnp.float32
-    u = jnp.asarray(rng.standard_normal((bg, dm, wj)), f32)
-    v = jnp.asarray(rng.standard_normal((bg, h, dm, j)), f32)
+    dx = jnp.asarray(rng.standard_normal((bg, wj)), f32)
+    dy = jnp.asarray(rng.standard_normal((bg, h, j)), f32)
+    w0x = jnp.asarray(rng.standard_normal((dm,)), f32)
+    w0y = jnp.asarray(rng.standard_normal((dm,)), f32)
+    b0 = jnp.asarray(rng.standard_normal((dm,)), f32)
     w1 = jnp.asarray(rng.standard_normal((dm, dm)), f32)
     b1 = jnp.asarray(rng.standard_normal((dm,)), f32)
     w2 = jnp.asarray(rng.standard_normal((dm, 1)), f32)
@@ -108,8 +111,9 @@ def test_cpb_bwd_grid_orders_agree(monkeypatch, force_tiling):
     for order in ("rs", "sr"):
         da._cpb_bwd_call.clear_cache()
         outs[order] = [np.asarray(x, np.float64)
-                       for x in da._cpb_bwd_call(u, v, w1, b1, w2, dbias,
+                       for x in da._cpb_bwd_call(dx, dy, w0x, w0y, b0,
+                                                 w1, b1, w2, dbias,
                                                  interpret=True, order=order)]
-    names = ("du", "dv", "dw1", "db1", "dw2", "db2")
+    names = ("ddx", "ddy", "dw0x", "dw0y", "db0", "dw1", "db1", "dw2", "db2")
     for name, a, b in zip(names, outs["rs"], outs["sr"]):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4, err_msg=name)

@@ -1,4 +1,8 @@
-"""Fused CPB-bias+attention Pallas kernel vs the XLA path (interpret mode on CPU)."""
+"""Fused CPB-bias+attention Pallas kernel vs the XLA path (interpret mode on CPU).
+
+Round 5: the kernels take the thin signed-log displacement tables dx/dy plus
+the layer-1 weights (w0x, w0y, b0) and build the u/v factor tiles in VMEM.
+"""
 
 import numpy as np
 import pytest
@@ -10,6 +14,17 @@ from sml_tpu.ops.deformable import CPB2D, DeformCrossAttention2D
 from sml_tpu.ops.pallas.deform_attn import fused_bias_attention_weights
 
 
+def _mlp_params(rng, dm):
+    w0x = rng.normal(size=(dm,)).astype(np.float32) * 0.3
+    w0y = rng.normal(size=(dm,)).astype(np.float32) * 0.3
+    b0 = rng.normal(size=(dm,)).astype(np.float32) * 0.1
+    w1 = rng.normal(size=(dm, dm)).astype(np.float32) * 0.3
+    b1 = rng.normal(size=(dm,)).astype(np.float32) * 0.1
+    w2 = rng.normal(size=(dm, 1)).astype(np.float32) * 0.3
+    b2 = rng.normal(size=(1,)).astype(np.float32) * 0.1
+    return w0x, w0y, b0, w1, b1, w2, b2
+
+
 def test_kernel_matches_reference_math():
     """Direct kernel check against a dense numpy evaluation."""
     rng = np.random.default_rng(0)
@@ -17,25 +32,26 @@ def test_kernel_matches_reference_math():
     n = hgt * wid
     q = rng.normal(size=(bg, n, d)).astype(np.float32)
     k = rng.normal(size=(bg, j, d)).astype(np.float32)
-    # factor tables with known structure; u lane order = w*J + j (j fastest)
-    u4 = rng.normal(size=(bg, wid, dm, j)).astype(np.float32)   # (BG, W, dm, J)
-    u = np.ascontiguousarray(u4.transpose(0, 2, 1, 3)).reshape(bg, dm, wid * j)
-    v = rng.normal(size=(bg, hgt, dm, j)).astype(np.float32)
-    w1 = rng.normal(size=(dm, dm)).astype(np.float32) * 0.3
-    b1 = rng.normal(size=(dm,)).astype(np.float32) * 0.1
-    w2 = rng.normal(size=(dm, 1)).astype(np.float32) * 0.3
-    b2 = rng.normal(size=(1,)).astype(np.float32) * 0.1
+    # displacement tables; dx lane order = w*J + j (j fastest)
+    dx4 = rng.normal(size=(bg, wid, j)).astype(np.float32)
+    dx = dx4.reshape(bg, wid * j)
+    dy = rng.normal(size=(bg, hgt, j)).astype(np.float32)
+    w0x, w0y, b0, w1, b1, w2, b2 = _mlp_params(rng, dm)
 
     attn = np.asarray(fused_bias_attention_weights(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(u), jnp.asarray(v),
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(dx), jnp.asarray(dy),
+        jnp.asarray(w0x), jnp.asarray(w0y), jnp.asarray(b0),
         jnp.asarray(w1), jnp.asarray(b1), jnp.asarray(w2), jnp.asarray(b2),
         interpret=True))
 
-    # dense oracle
+    # dense oracle: rebuild the layer-1 factor tables, then the MLP
+    u4 = w0x[None, :, None, None] * dx4[:, None, :, :]        # (bg, dm, W, J)
+    v = w0y[None, None, :, None] * dy[:, :, None, :] \
+        + b0[None, None, :, None]                             # (bg, H, dm, J)
     for b in range(bg):
         for iy in range(hgt):
             for ix in range(wid):
-                h1 = np.maximum(u4[b, ix] + v[b, iy], 0)          # (dm, J)
+                h1 = np.maximum(u4[b, :, ix, :] + v[b, iy], 0)    # (dm, J)
                 h2 = np.maximum(w1.T @ h1 + b1[:, None], 0)       # (dm, J)
                 bias = (w2[:, 0] @ h2) + b2[0]                    # (J,)
                 sim = k[b] @ q[b, iy * wid + ix] + bias           # (J,)
@@ -73,7 +89,7 @@ def test_module_pallas_path_matches_xla_path():
 
 
 def test_cpb_factors_consistent_with_call():
-    """factors() tables must reproduce __call__'s bias exactly."""
+    """factors() displacement tables must reproduce __call__'s bias exactly."""
     rng = np.random.default_rng(2)
     b, g, hgt, wid, j, dm = 2, 4, 5, 5, 6, 16
     x_coords = jnp.asarray(np.linspace(-1, 1, wid).astype(np.float32))
@@ -84,10 +100,14 @@ def test_cpb_factors_consistent_with_call():
     params = mod.init(jax.random.PRNGKey(0), x_coords, y_coords, grid_kv, b)
     bias = np.asarray(mod.apply(params, x_coords, y_coords, grid_kv, b))
 
-    u, v, w1, b1, w2, b2 = mod.apply(params, x_coords, y_coords, grid_kv,
-                                     method=CPB2D.factors)
-    u4 = np.asarray(u).reshape(b * g, dm, wid, j)   # lane order w*J + j
-    v = np.asarray(v)
+    dx, dy, w0x, w0y, b0, w1, b1, w2, b2 = mod.apply(
+        params, x_coords, y_coords, grid_kv, method=CPB2D.factors)
+    dx4 = np.asarray(dx).reshape(b * g, wid, j)     # lane order w*J + j
+    dy = np.asarray(dy)
+    w0x, w0y, b0 = np.asarray(w0x), np.asarray(w0y), np.asarray(b0)
+    u4 = w0x[None, :, None, None] * dx4[:, None, :, :]        # (bg, dm, W, J)
+    v = w0y[None, None, :, None] * dy[:, :, None, :] \
+        + b0[None, None, :, None]                             # (bg, H, dm, J)
     rebuilt = np.zeros((b * g, hgt * wid, j))
     for bb in range(b * g):
         for iy in range(hgt):
@@ -96,7 +116,6 @@ def test_cpb_factors_consistent_with_call():
                 h2 = np.maximum(np.asarray(w1).T @ h1 + np.asarray(b1)[:, None], 0)
                 rebuilt[bb, iy * wid + ix] = (np.asarray(w2)[:, 0] @ h2
                                               + np.asarray(b2)[0])
-    rebuilt = rebuilt.reshape(b, g, hgt * wid, j).reshape(b, g, hgt * wid, j)
     np.testing.assert_allclose(bias, rebuilt.reshape(b, g, -1, j), rtol=1e-4,
                                atol=1e-5)
 
@@ -156,19 +175,18 @@ def test_fwd_row_packing_matches_per_row(monkeypatch, dm, h, w, j):
 
     rng = np.random.default_rng(0)
     bg = 2
-    u = jnp.asarray(rng.standard_normal((bg, dm, w * j)) * 0.3, jnp.float32)
-    v = jnp.asarray(rng.standard_normal((bg, h, dm, j)) * 0.3, jnp.float32)
-    w1 = jnp.asarray(rng.standard_normal((dm, dm)) * 0.2, jnp.float32)
-    b1 = jnp.asarray(rng.standard_normal((dm,)) * 0.1, jnp.float32)
-    w2 = jnp.asarray(rng.standard_normal((dm, 1)) * 0.2, jnp.float32)
-    b2 = jnp.asarray(rng.standard_normal((1,)) * 0.1, jnp.float32)
+    dx = jnp.asarray(rng.standard_normal((bg, w * j)) * 0.5, jnp.float32)
+    dy = jnp.asarray(rng.standard_normal((bg, h, j)) * 0.5, jnp.float32)
+    w0x, w0y, b0, w1, b1, w2, b2 = [jnp.asarray(p) for p in
+                                    _mlp_params(rng, dm)]
+    args = (dx, dy, w0x, w0y, b0, w1, b1, w2, b2)
 
     ws, nb = da._pick_tiling(dm, w, h, j, 4, bwd=False)
     assert da._pick_rpack(dm, h // nb, (w // ws) * j, j, 4, bwd=False) > 1
 
-    packed = np.asarray(da.fused_cpb_bias(u, v, w1, b1, w2, b2, interpret=True))
+    packed = np.asarray(da.fused_cpb_bias(*args, interpret=True))
     da.fused_cpb_bias.clear_cache()
     monkeypatch.setattr(da, "_pick_rpack", lambda *a, **k: 1)
-    per_row = np.asarray(da.fused_cpb_bias(u, v, w1, b1, w2, b2, interpret=True))
+    per_row = np.asarray(da.fused_cpb_bias(*args, interpret=True))
     da.fused_cpb_bias.clear_cache()
     np.testing.assert_allclose(packed, per_row, rtol=1e-5, atol=1e-5)
