@@ -208,9 +208,11 @@ def _pick_rowblocks(h: int, wj: int) -> int:
 
 def _build_u(dx_ref, w0x_ref, cdt):
     """(dm, cw*J) layer-1 column tile from the dx chunk: u = w0x * dx.
-    Built in VMEM (round 5) — was a streamed HBM operand before."""
+    Built in VMEM (round 5) — was a streamed HBM operand before.  dx rides as
+    (BG, 1, W*J) so the block's sublane dim equals the array's (Mosaic's
+    block rule rejects a 1-sublane block on a (BG, W*J) layout)."""
     dm = w0x_ref.shape[0]
-    dxc = dx_ref[:].astype(cdt)                          # (1, cw*J)
+    dxc = dx_ref[0].astype(cdt)                          # (1, cw*J)
     return w0x_ref[:] * jnp.broadcast_to(dxc, (dm, dxc.shape[-1]))
 
 
@@ -337,7 +339,7 @@ def fused_cpb_bias(dx: jnp.ndarray, dy: jnp.ndarray, w0x: jnp.ndarray,
         kernel,
         grid=(bg, n_rb, wsplit),
         in_specs=[
-            pl.BlockSpec((1, cwj), lambda b, r, s: (b, s),
+            pl.BlockSpec((1, 1, cwj), lambda b, r, s: (b, 0, s),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h_rb, j), lambda b, r, s: (b, r, 0),
                          memory_space=pltpu.VMEM),
@@ -360,8 +362,8 @@ def fused_cpb_bias(dx: jnp.ndarray, dy: jnp.ndarray, w0x: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bg, h, wj), jnp.float32),
         interpret=interpret,
-    )(dx, dy, w0x.reshape(dm, 1), w0y.reshape(dm, 1), b0.reshape(dm, 1),
-      w1_op, b1_op, w2_op, b2.reshape(1, 1))
+    )(dx.reshape(bg, 1, wj), dy, w0x.reshape(dm, 1), w0y.reshape(dm, 1),
+      b0.reshape(dm, 1), w1_op, b1_op, w2_op, b2.reshape(1, 1))
 
 
 def _bwd_kernel(dx_ref, dy_ref, w0x_ref, w0y_ref, b0_ref, w1_ref, b1_ref,
@@ -475,10 +477,10 @@ def _bwd_kernel(dx_ref, dy_ref, w0x_ref, w0y_ref, b0_ref, w1_ref, b1_ref,
             w0x_f, du, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(ddx_ref.dtype)
         if order == "rs":
-            ddx_ref[0] = ddx                             # block (1, 1, cw*J)
+            ddx_ref[0, 0] = ddx                          # block (1, 1, 1, cw*J)
         else:
-            ddx_ref[...] = ddx                           # block (1, cw*J)
-        dx_c = dx_ref[:].astype(cdt).astype(jnp.float32)          # (1, cw*J)
+            ddx_ref[0] = ddx                             # block (1, 1, cw*J)
+        dx_c = dx_ref[0].astype(cdt).astype(jnp.float32)          # (1, cw*J)
         dw0x_ref[0] += jnp.sum(
             du * jnp.broadcast_to(dx_c, du.shape), axis=1, keepdims=True)
 
@@ -567,7 +569,7 @@ def _cpb_bwd_call(dx, dy, w0x, w0y, b0, w1, b1, w2, dbias, interpret=False,
     if order == "rs":
         grid = (bg, n_rb, wsplit)                            # chunk fastest
         in_specs = [
-            pl.BlockSpec((1, cwj), lambda b, r, s: (b, s),
+            pl.BlockSpec((1, 1, cwj), lambda b, r, s: (b, 0, s),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h_rb, j), lambda b, r, s: (b, r, 0),
                          memory_space=pltpu.VMEM),
@@ -577,8 +579,9 @@ def _cpb_bwd_call(dx, dy, w0x, w0y, b0, w1, b1, w2, dbias, interpret=False,
         ]
         out_specs = [
             # d_dx partials per row-block: (b, r, chunk) — never revisited;
-            # summed over the row-block axis by XLA below (tiny: n_rb * W*J)
-            pl.BlockSpec((1, 1, cwj), lambda b, r, s: (b, r, s),
+            # summed over the row-block axis by XLA below (tiny: n_rb * W*J).
+            # The singleton sublane axis keeps the block Mosaic-legal.
+            pl.BlockSpec((1, 1, 1, cwj), lambda b, r, s: (b, r, 0, s),
                          memory_space=pltpu.VMEM),
             # d_dy accumulates across a row-block's chunk programs
             pl.BlockSpec((1, h_rb, j), lambda b, r, s: (b, r, 0),
@@ -586,7 +589,7 @@ def _cpb_bwd_call(dx, dy, w0x, w0y, b0, w1, b1, w2, dbias, interpret=False,
             *wgrad_specs,
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((bg, n_rb, wj), f32),      # d_dx partials
+            jax.ShapeDtypeStruct((bg, n_rb, 1, wj), f32),   # d_dx partials
             jax.ShapeDtypeStruct((bg, h, j), f32),          # d_dy
             *wgrad_shapes,
         ]
@@ -594,7 +597,7 @@ def _cpb_bwd_call(dx, dy, w0x, w0y, b0, w1, b1, w2, dbias, interpret=False,
         grid = (bg, wsplit, n_rb)                            # row-block fastest
         in_specs = [
             # dx fetched once per (b, chunk): revisited across row-blocks
-            pl.BlockSpec((1, cwj), lambda b, s, r: (b, s),
+            pl.BlockSpec((1, 1, cwj), lambda b, s, r: (b, 0, s),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h_rb, j), lambda b, s, r: (b, r, 0),
                          memory_space=pltpu.VMEM),
@@ -605,7 +608,7 @@ def _cpb_bwd_call(dx, dy, w0x, w0y, b0, w1, b1, w2, dbias, interpret=False,
         ]
         out_specs = [
             # d_dx folded once from the du scratch at the last row-block
-            pl.BlockSpec((1, cwj), lambda b, s, r: (b, s),
+            pl.BlockSpec((1, 1, cwj), lambda b, s, r: (b, 0, s),
                          memory_space=pltpu.VMEM),
             # d_dy partials per chunk (wsplit folded onto bg; affine index)
             pl.BlockSpec((1, h_rb, j),
@@ -615,7 +618,7 @@ def _cpb_bwd_call(dx, dy, w0x, w0y, b0, w1, b1, w2, dbias, interpret=False,
             *wgrad_specs,
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((bg, wj), f32),            # d_dx
+            jax.ShapeDtypeStruct((bg, 1, wj), f32),         # d_dx
             jax.ShapeDtypeStruct((bg * wsplit, h, j), f32),  # d_dy partials
             *wgrad_shapes,
         ]
@@ -627,15 +630,16 @@ def _cpb_bwd_call(dx, dy, w0x, w0y, b0, w1, b1, w2, dbias, interpret=False,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((dm, cwj), f32)],         # du accumulator
         interpret=interpret,
-    )(dx, dy, w0x.reshape(dm, 1), w0y.reshape(dm, 1), b0.reshape(dm, 1),
-      w1, b1.reshape(dm, 1), w2.reshape(1, dm), dbias)
+    )(dx.reshape(bg, 1, wj), dy, w0x.reshape(dm, 1), w0y.reshape(dm, 1),
+      b0.reshape(dm, 1), w1, b1.reshape(dm, 1), w2.reshape(1, dm), dbias)
     ddxp, ddyp = outs[:2]
     dw0xp, dw0yp, db0p, dw1p, db1p, dw2p, db2p = outs[2:]
     if order == "rs":
+        ddxp = ddxp[:, :, 0]                                # drop sublane axis
         ddx = ddxp[:, 0] if ddxp.shape[1] == 1 else ddxp.sum(axis=1)
         ddy = ddyp
     else:
-        ddx = ddxp
+        ddx = ddxp[:, 0]
         ddy = ddyp if wsplit == 1 else \
             ddyp.reshape(bg, wsplit, h, j).sum(axis=1)
     return (ddx.astype(dx.dtype), ddy.astype(dy.dtype),
