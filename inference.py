@@ -208,17 +208,32 @@ def _gene_attribution(config, model, variables, eval_step, test_loader, kind):
 
     if kind == "deep_shap":
         # exact DeepLIFT-rescale estimator (the reference's shap.DeepExplainer
-        # slot, utils/feature_importance.py:37-72) — MaxNet MLP path
-        if config.mode != "omic":
+        # slot, utils/feature_importance.py:37-72): MaxNet MLP (omic mode) or
+        # the full fused head (pathomic modes — rescale chain through the
+        # gated BilinearFusion, utils/importance.py:deep_shap_pathomic)
+        if config.mode not in ("omic", "pathomic", "pathomic_original"):
             raise ValueError("--attribution deep_shap runs the exact DeepLIFT "
-                             "chain through MaxNet; use --mode omic "
-                             "(gradient_shap covers the other modes)")
+                             "chain through MaxNet (--mode omic) or the fused "
+                             "PathomicNet head (--mode pathomic[_original]); "
+                             "gradient_shap covers the other modes")
         background = np.concatenate([b["x_omic"] for b in batches])
         per_class = []
         for c in range(config.label_dim):
-            attrs = [imp.deep_shap_maxnet(variables["params"], b["x_omic"],
-                                          background, class_index=c)
-                     for b in batches]
+            attrs = []
+            for b in batches:
+                if config.mode == "omic":
+                    attrs.append(imp.deep_shap_maxnet(
+                        variables["params"], b["x_omic"], background,
+                        class_index=c))
+                else:
+                    out = model.apply(variables,
+                                      x_path=jnp.asarray(b["x_path"]),
+                                      x_omic=jnp.asarray(b["x_omic"]),
+                                      deterministic=True)
+                    attrs.append(imp.deep_shap_pathomic(
+                        variables, b["x_omic"], background,
+                        np.asarray(out["path_vec"]), class_index=c,
+                        fusion_type=config.fusion_type, skip=config.skip))
             per_class.append(np.abs(np.concatenate(attrs)).mean(axis=0))
         return np.mean(per_class, axis=0)
 

@@ -165,6 +165,161 @@ def deep_shap_maxnet(params: dict, x: np.ndarray, background: np.ndarray,
     return np.asarray(attr.mean(axis=1))
 
 
+def deep_shap_pathomic(variables: dict, x_omic: np.ndarray,
+                       background: np.ndarray, path_vec: np.ndarray,
+                       class_index: int = 0, fusion_type: str = "pofusion",
+                       skip: int = 0, eps: float = 1e-6) -> np.ndarray:
+    """Exact Deep-SHAP through PathomicNet: MaxNet -> fusion -> classifier.
+
+    Generalizes :func:`deep_shap_maxnet` (VERDICT r4 item 7) past the omic
+    tower: attributions of the FINAL fused logit to each gene, with the path
+    branch held at its actual value (``path_vec`` — identical between input
+    and reference, so its contribution is exactly zero).  The reference's own
+    ``shap.DeepExplainer`` surface (``utils/feature_importance.py:37-72``) is
+    broken (a ``pd.read`` typo) and never handled the fused head; this is the
+    working generalization.
+
+    Mechanism: every intermediate is a tracked triple ``(val, ref, con)``
+    where ``con`` is the (D, width) per-gene contribution matrix with the
+    invariant ``con.sum(0) == val - ref`` — the summation-to-delta property —
+    preserved EXACTLY by each propagation rule:
+
+    * linear/affine (Dense, eval-mode BatchNorm, bilinear with one constant
+      side): ``con' = con @ K``;
+    * elementwise nonlinearity: multiply by the DeepLIFT RESCALE secant
+      ``(f(z) - f(z_ref)) / (z - z_ref)``;
+    * elementwise product of two tracked streams (the sigmoid gates and the
+      outer product): the multilinear-Shapley rule
+      ``d(ab) = da*(b + b_ref)/2 + db*(a + a_ref)/2``, algebraically exact for
+      bilinear terms.
+
+    Covers ``fusion_type`` in {concat, add, pofusion(+skip)}; dropout /
+    AlphaDropout are eval-mode identities; BatchNorm uses running stats.
+    Tested: the tracked value equals the real model logit, and attributions
+    sum to ``logit(x) - logit(ref)`` per (sample, reference) pair.
+
+    variables: full model variables (params [+ batch_stats for pofusion]).
+    x_omic (B, D); background (R, D); path_vec (B, path_dim) from the model's
+    own forward (``out["path_vec"]``).  Returns (B, D) SHAP values for
+    ``class_index``'s logit, averaged over references.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    enc = [params["omic_net"][f"encoder{i}"] for i in range(1, 5)]
+    D = x_omic.shape[-1]
+
+    def secant(fn, z, z_ref, dfn):
+        dz = z - z_ref
+        safe = jnp.where(jnp.abs(dz) > eps, dz, 1.0)
+        sec = (fn(z) - fn(z_ref)) / safe
+        return jnp.where(jnp.abs(dz) > eps, sec, dfn((z + z_ref) / 2.0))
+
+    d_elu = lambda z: jnp.where(z > 0, 1.0, jnp.exp(z))
+    d_relu = lambda z: (z > 0).astype(z.dtype)
+    d_sig = lambda z: jax.nn.sigmoid(z) * (1 - jax.nn.sigmoid(z))
+
+    def t_const(v):
+        return (v, v, jnp.zeros((D,) + v.shape))
+
+    def t_lin(t, k, b=None):
+        val, ref, con = t
+        aff = lambda u: u @ k + (0.0 if b is None else b)
+        return (aff(val), aff(ref), con @ k)
+
+    def t_scale(t, scale, shift=0.0):
+        val, ref, con = t
+        return (val * scale + shift, ref * scale + shift, con * scale)
+
+    def t_nl(t, fn, dfn):
+        val, ref, con = t
+        return (fn(val), fn(ref), con * secant(fn, val, ref, dfn))
+
+    def t_mul(a, b):
+        av, ar, ac = a
+        bv, br, bc = b
+        return (av * bv, ar * br, ac * (bv + br) / 2 + bc * (av + ar) / 2)
+
+    def t_cat(ts):
+        return (jnp.concatenate([t[0] for t in ts]),
+                jnp.concatenate([t[1] for t in ts]),
+                jnp.concatenate([t[2] for t in ts], axis=-1))
+
+    def t_bn(t, name):
+        p, s = params["fusion"][name], bstats["fusion"][name]
+        inv = 1.0 / jnp.sqrt(s["var"] + 1e-5)
+        return t_scale(t, p["scale"] * inv, p["bias"] - s["mean"] * inv * p["scale"])
+
+    def gate(idx, v_self, vec1, vec2):
+        """o_idx of BilinearFusion (eval mode): relu(W_o(sig(z)*relu(W_h v)))."""
+        fp = params["fusion"]
+        h = t_nl(t_lin(v_self, fp[f"linear_h{idx}"]["kernel"],
+                       fp[f"linear_h{idx}"]["bias"]), jax.nn.relu, d_relu)
+        zp = fp[f"linear_z{idx}"]
+        if "weight" in zp:                        # torch nn.Bilinear
+            # vec1 (path side) is CONSTANT between input and reference, so the
+            # bilinear form is exactly linear in vec2: K[j, o] = sum_i v1_i W_oij
+            k_eff = jnp.einsum("i,oij->jo", vec1[0], zp["weight"])
+            z = t_lin(vec2, k_eff, zp["bias"])
+        else:                                     # concat-linear variant
+            z = t_lin(t_cat([vec1, vec2]), zp["kernel"], zp["bias"])
+        g = t_nl(z, jax.nn.sigmoid, d_sig)
+        pre = t_mul(g, h)
+        return t_nl(t_lin(pre, fp[f"linear_o{idx}"]["kernel"],
+                          fp[f"linear_o{idx}"]["bias"]), jax.nn.relu, d_relu)
+
+    def one_pair(xi, ref, pvec):
+        t = (xi, ref, jnp.diag(xi - ref))         # input: con = diag(delta)
+        for layer in enc:                         # MaxNet: Dense -> ELU (x4)
+            t = t_nl(t_lin(t, layer["kernel"], layer["bias"]), jax.nn.elu, d_elu)
+        omic = t_nl(t, jax.nn.relu, d_relu)       # features = relu(.)
+        path = t_const(pvec)
+
+        if fusion_type == "concat":
+            fused = t_cat([path, omic])
+        elif fusion_type == "add":
+            pv, pr, pc = path
+            ov, orr, oc = omic
+            fused = (pv + ov, pr + orr, pc + oc)
+        else:                                     # pofusion: BilinearFusion
+            vec1 = t_nl(path, jax.nn.relu, d_relu)
+            vec2 = t_nl(omic, jax.nn.relu, d_relu)
+            one = t_const(jnp.ones((1,), xi.dtype))
+            o1 = t_cat([gate(1, vec1, vec1, vec2), one])
+            o2 = t_cat([gate(2, vec2, vec1, vec2), one])
+            # outer product o12[i, j] = o1_i * o2_j — multilinear-Shapley rule
+            a_v, a_r, a_c = o1
+            b_v, b_r, b_c = o2
+            o12 = ((a_v[:, None] * b_v[None, :]).reshape(-1),
+                   (a_r[:, None] * b_r[None, :]).reshape(-1),
+                   (a_c[:, :, None] * ((b_v + b_r) / 2)[None, None, :]
+                    + ((a_v + a_r) / 2)[None, :, None] * b_c[:, None, :]
+                    ).reshape(D, -1))
+            fp = params["fusion"]
+            fused = t_nl(t_bn(t_lin(o12, fp["encoder1"]["kernel"],
+                                    fp["encoder1"]["bias"]), "bn1"),
+                         jax.nn.relu, d_relu)
+            if skip:
+                fused = t_cat([fused, o1, o2])
+            fused = t_nl(t_bn(t_lin(fused, fp["encoder2"]["kernel"],
+                                    fp["encoder2"]["bias"]), "bn2"),
+                         jax.nn.relu, d_relu)
+
+        logit = t_lin(fused, params["classifier"]["kernel"],
+                      params["classifier"]["bias"])
+        val, ref_v, con = logit
+        return val[class_index], ref_v[class_index], con[:, class_index]
+
+    pair = jax.jit(jax.vmap(jax.vmap(one_pair, in_axes=(None, 0, None)),
+                            in_axes=(0, None, 0)))
+    _, _, attr = pair(jnp.asarray(x_omic, jnp.float32),
+                      jnp.asarray(background, jnp.float32),
+                      jnp.asarray(path_vec, jnp.float32))   # (B, R, D)
+    return np.asarray(attr.mean(axis=1))
+
+
 def mcat_group_attribution(model, variables, batches: List[Dict[str, np.ndarray]],
                            omic_sizes: Optional[Sequence[int]] = None,
                            steps: int = 16

@@ -188,3 +188,51 @@ def test_deep_shap_matches_gradient_for_near_reference():
 
     g = np.asarray(jax.grad(lambda o: logit0(o))(jnp.asarray(x)))
     np.testing.assert_allclose(attr, g * delta, rtol=5e-2, atol=1e-9)
+
+
+def test_deep_shap_pathomic_exact_through_fusion():
+    """VERDICT r4 item 7: exact DeepLIFT generalized through PathomicNet's
+    gated BilinearFusion.  Two invariants, per fusion type:
+    (a) the tracked forward value equals the REAL model logit (no graph drift);
+    (b) summation-to-delta holds exactly per (sample, reference) pair."""
+    import jax
+    import jax.numpy as jnp
+
+    from sml_tpu.models.pathomic import PathomicNet
+    from sml_tpu.utils.importance import deep_shap_pathomic
+
+    rng = np.random.default_rng(7)
+    x_path = rng.normal(size=(4, 12, 1024)).astype(np.float32)
+    x_omic = rng.normal(size=(4, 31)).astype(np.float32)
+    bg = rng.normal(size=(3, 31)).astype(np.float32)
+
+    for fusion_type, skip in (("pofusion", 1), ("pofusion", 0), ("concat", 0),
+                              ("add", 0)):
+        model = PathomicNet(label_dim=4, input_size_omic=31, path_dim=16,
+                            omic_dim=16, mmhid=16, dropout_rate=0.0,
+                            fusion_type=fusion_type, skip=skip)
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               jnp.asarray(x_path), jnp.asarray(x_omic),
+                               deterministic=True)
+        out = model.apply(variables, jnp.asarray(x_path), jnp.asarray(x_omic),
+                          deterministic=True)
+        path_vec = np.asarray(out["path_vec"])
+        c = 1
+        attr = deep_shap_pathomic(variables, x_omic, bg, path_vec,
+                                  class_index=c, fusion_type=fusion_type,
+                                  skip=skip)
+        assert attr.shape == (4, 31)
+
+        # reference logits: same model, same PATH input, background omic rows
+        ref_logits = []
+        for r in range(len(bg)):
+            o = model.apply(variables, jnp.asarray(x_path),
+                            jnp.tile(bg[r:r + 1], (4, 1)), deterministic=True)
+            ref_logits.append(np.asarray(o["logits"])[:, c])
+        ref_mean = np.mean(ref_logits, axis=0)           # (B,)
+        logits = np.asarray(out["logits"])[:, c]
+
+        np.testing.assert_allclose(
+            attr.sum(axis=1), logits - ref_mean, rtol=2e-4, atol=2e-4,
+            err_msg=f"summation-to-delta broken for fusion={fusion_type} "
+                    f"skip={skip}")
