@@ -83,6 +83,14 @@ _VMEM_BUDGET_BWD = 13 * 1024 * 1024
 if os.environ.get("SML_TPU_VMEM_BWD_MB"):
     _VMEM_BUDGET_BWD = int(os.environ["SML_TPU_VMEM_BWD_MB"]) * 1024 * 1024
 _FORCE_BWD_ORDER = os.environ.get("SML_TPU_CPB_BWD_ORDER") or None
+# Backward weight-grad lane reductions on the MXU (lane-contracting
+# dot_generals with a ones row) instead of VPU mult+reduce passes.  The idea:
+# the bwd is VPU-recompute-bound, so move ~3 of its ~11 per-row VPU passes to
+# the mostly-idle MXU.  Step-level A/B @4k (r5, 2 runs/arm, device-loop):
+# MXU=1 145.78 bags/s vs MXU=0 146.33/146.35 — a wash-to-slightly-negative
+# (the (rows,1) dot issues don't beat the VPU reduce at these row counts).
+# Measured negative result; default OFF, flag kept for re-measurement.
+_MXU_REDUCE = os.environ.get("SML_TPU_CPB_MXU_REDUCE", "0") != "0"
 _MAX_CHUNK_LANES = 8192           # cap per-op lane width (larger stores fail to lower)
 _MAX_ROWBLOCK_BYTES = 2 * 1024 * 1024  # cap the f32 bias/cotangent row block
 _HARD_VMEM = 15 * 1024 * 1024     # the chip's ~16MB scoped VMEM, minus slack
@@ -399,6 +407,17 @@ def _bwd_kernel(dx_ref, dy_ref, w0x_ref, w0y_ref, b0_ref, w1_ref, b1_ref,
     w2 = w2_ref[:].astype(jnp.float32)                   # (1, dm)
     w0x_f = w0x_ref[:].astype(jnp.float32)               # (dm, 1)
     w0y_f = w0y_ref[:].astype(jnp.float32)               # (dm, 1)
+    cwj = u.shape[-1]
+    ones_row = jnp.ones((1, cwj), jnp.float32) if _MXU_REDUCE else None
+
+    def _lane_sum(x):
+        """sum over the lane axis -> (rows, 1): MXU dot against a ones row
+        when enabled (frees the VPU, which bounds this kernel), else a VPU
+        reduce."""
+        if _MXU_REDUCE:
+            return jax.lax.dot_general(x, ones_row, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+        return jnp.sum(x, axis=1, keepdims=True)
 
     @pl.when((pl.program_id(1) == 0) & (pl.program_id(2) == 0))
     def _init_weight_grads():
@@ -434,8 +453,14 @@ def _bwd_kernel(dx_ref, dy_ref, w0x_ref, w0y_ref, b0_ref, w1_ref, b1_ref,
         dbias = dbias_ref[0, pl.ds(r, 1)].astype(jnp.float32)   # (1, cw*J)
 
         # layer-3: bias = w2 @ h2 + b2 (lane reductions, no transposes)
-        dw2_ref[0] += jnp.sum(h2 * dbias, axis=1, keepdims=True)   # (dm, 1)
-        db2_ref[0] += jnp.sum(dbias).reshape(1, 1)
+        if _MXU_REDUCE:
+            # dw2 = sum_l h2 * dbias == h2 @ dbias^T: lane-contracting MXU dot
+            dw2_ref[0] += jax.lax.dot_general(
+                h2, dbias, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (dm, 1)
+        else:
+            dw2_ref[0] += jnp.sum(h2 * dbias, axis=1, keepdims=True)
+        db2_ref[0] += _lane_sum(dbias)
         dh2 = jax.lax.dot_general(w2, dbias, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         dz2 = jnp.where(z2 > 0, dh2, 0.0)
@@ -444,7 +469,7 @@ def _bwd_kernel(dx_ref, dy_ref, w0x_ref, w0y_ref, b0_ref, w1_ref, b1_ref,
         dz2_c = dz2.astype(cdt)
         dw1_ref[0] += jax.lax.dot_general(h1, dz2_c, (((1,), (1,)), ((), ())),
                                           preferred_element_type=jnp.float32)
-        db1_ref[0] += jnp.sum(dz2, axis=1, keepdims=True)
+        db1_ref[0] += _lane_sum(dz2)
         dh1 = jnp.dot(w1_ref[:], dz2_c, preferred_element_type=jnp.float32)
         # relu mask in f32: the target does not support bf16 comparisons
         dz1 = jnp.where(h1.astype(jnp.float32) > 0, dh1, 0.0)
