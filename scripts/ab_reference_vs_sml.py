@@ -272,11 +272,14 @@ def main():
                          "processes and be merged)")
     ap.add_argument("--out", default=None,
                     help="output JSON (default benchmarks/ab_synthetic.json)")
+    ap.add_argument("--platform", choices=["cpu", "axon"], default="cpu",
+                    help="JAX backend for the sml arm (axon = real TPU; the "
+                         "torch arm always runs on host CPU)")
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", args.platform)
 
     from measure_reference_baseline import _stub_modules
 
