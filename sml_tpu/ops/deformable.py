@@ -166,7 +166,8 @@ class CPB2D(nn.Module):
 
     def flat_bias(self, x_coords: jnp.ndarray, y_coords: jnp.ndarray,
                   grid_kv: jnp.ndarray) -> Optional[jnp.ndarray]:
-        """(BG, H*W, J) f32 Pallas bias for the fused attention kernel (query
+        """(BG, H*W, J) Pallas bias, in the compute dtype, for the fused
+        attention kernel (query
         index iy*W + ix, identical to ``__call__``'s layout — the reshape from
         the kernel's (BG, H, W*J) is free); None when the shape has no legal
         kernel tiling (caller falls back to the XLA attention chain)."""

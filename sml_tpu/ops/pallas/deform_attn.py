@@ -91,6 +91,11 @@ _FORCE_BWD_ORDER = os.environ.get("SML_TPU_CPB_BWD_ORDER") or None
 # (the (rows,1) dot issues don't beat the VPU reduce at these row counts).
 # Measured negative result; default OFF, flag kept for re-measurement.
 _MXU_REDUCE = os.environ.get("SML_TPU_CPB_MXU_REDUCE", "0") != "0"
+# Escape hatch: force the CPB bias / dbias HBM interface back to f32 (round 5
+# moved it to the compute dtype — bf16 in production — which halves the
+# dominant HBM stream of the 4k step: bias+dbias round-trips are ~2.7 GB/step
+# f32 across both branches.  In-VMEM math stays f32 either way.)
+_BIAS_F32 = os.environ.get("SML_TPU_CPB_BIAS_F32", "0") != "0"
 _MAX_CHUNK_LANES = 8192           # cap per-op lane width (larger stores fail to lower)
 _MAX_ROWBLOCK_BYTES = 2 * 1024 * 1024  # cap the f32 bias/cotangent row block
 _HARD_VMEM = 15 * 1024 * 1024     # the chip's ~16MB scoped VMEM, minus slack
@@ -114,15 +119,19 @@ def _tile_bytes(dm: int, h_rb: int, cwj: int, j: int, usize: int,
     dx2 = 2 * cwj * 4                             # dx chunk (f32)
     dy2 = 2 * h_rb * j * 4                        # dy row block (f32)
     u1 = dm * cwj * usize                         # in-kernel u tile (single)
-    bias2 = 2 * h_rb * cwj * 4                    # bias / dbias row block
+    # bias / dbias block rides the compute dtype (round 5); sub-word dtypes
+    # add an f32 staging scratch (aligned bulk cast) — net VMEM is ~unchanged
+    bias_usize = 4 if _BIAS_F32 else usize
+    bias2 = 2 * h_rb * cwj * bias_usize
+    bias_scr = h_rb * cwj * 4 if bias_usize < 4 else 0
     if not bwd:
         temps = 4 * dm * cwj * 4
-        return dx2 + dy2 + u1 + bias2 + temps
+        return dx2 + dy2 + u1 + bias2 + bias_scr + temps
     ddx2 = 2 * cwj * 4                            # d_dx block
     ddy2 = 2 * h_rb * j * 4                       # d_dy block
     du1 = dm * cwj * 4                            # du accumulator scratch (f32)
     temps = 6 * dm * cwj * 4
-    return dx2 + dy2 + u1 + bias2 + ddx2 + ddy2 + du1 + temps
+    return dx2 + dy2 + u1 + bias2 + bias_scr + ddx2 + ddy2 + du1 + temps
 
 
 def _pick_tiling(dm: int, w: int, h: int, j: int, usize: int, bwd: bool):
@@ -236,8 +245,8 @@ def _build_v_rows(dy_rows, w0y_ref, b0_ref, cdt):
 
 
 def _fwd_kernel(dx_ref, dy_ref, w0x_ref, w0y_ref, b0_ref, w1_ref, b1_ref,
-                w2_ref, b2_ref, bias_ref,
-                *, h_rb: int, cw: int, j: int, dm: int, rpack: int = 1,
+                w2_ref, b2_ref, bias_ref, *maybe_scr,
+                h_rb: int, cw: int, j: int, dm: int, rpack: int = 1,
                 cdt=None):
     """Forward: one (row, chunk) MLP evaluation per fori_loop step.
 
@@ -250,7 +259,21 @@ def _fwd_kernel(dx_ref, dy_ref, w0x_ref, w0y_ref, b0_ref, w1_ref, b1_ref,
     lane-bound.  Mosaic requires sublane-dim dynamic slices to be 8-aligned,
     so the packed loop runs at 8-row granularity (8 // rpack groups per step)
     with a single-row tail for h_rb % 8 rows.
+
+    Sub-word output dtypes (bf16 production, round 5): Mosaic cannot prove
+    row-dynamic sub-pair stores aligned (bf16 packs 2 rows per sublane), so
+    rows land in an f32 VMEM scratch (``maybe_scr``) and the block is cast and
+    stored ONCE, fully aligned, at program end.  f32 output keeps the direct
+    row stores (the tuned round-3e path, bit-identical).
     """
+    out_scr = maybe_scr[0] if maybe_scr else None
+
+    def store_rows(idx, val):
+        if out_scr is None:
+            bias_ref[0, idx] = val.astype(bias_ref.dtype)
+        else:
+            out_scr[idx] = val.astype(out_scr.dtype)
+
     u = _build_u(dx_ref, w0x_ref, cdt)                   # (dm, cw*J) this chunk
 
     def one_row(r):
@@ -264,7 +287,11 @@ def _fwd_kernel(dx_ref, dy_ref, w0x_ref, w0y_ref, b0_ref, w1_ref, b1_ref,
         h2 = jnp.maximum(h2 + b1_ref[:dm], 0.0)          # (dm, cw*J)
         bias = jnp.dot(w2_ref[:1, :dm], h2,
                        preferred_element_type=jnp.float32) + b2_ref[0, 0]
-        bias_ref[0, r] = bias[0].astype(bias_ref.dtype)
+        store_rows(r, bias[0])
+
+    def _flush():
+        if out_scr is not None:
+            bias_ref[0] = out_scr[...].astype(bias_ref.dtype)
 
     if rpack == 1:
         def body(r, carry):
@@ -272,6 +299,7 @@ def _fwd_kernel(dx_ref, dy_ref, w0x_ref, w0y_ref, b0_ref, w1_ref, b1_ref,
             return carry
 
         jax.lax.fori_loop(0, h_rb, body, 0)
+        _flush()
         return
 
     ur = jnp.concatenate([u] * rpack, axis=0)            # (rpack*dm, cw*J)
@@ -290,7 +318,7 @@ def _fwd_kernel(dx_ref, dy_ref, w0x_ref, w0y_ref, b0_ref, w1_ref, b1_ref,
                                 preferred_element_type=jnp.float32)
                         + b2_ref[0, 0])                  # (rpack, cw*J)
         out8 = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-        bias_ref[0, pl.ds(i * 8, 8)] = out8.astype(bias_ref.dtype)
+        store_rows(pl.ds(i * 8, 8), out8)
         return carry
 
     jax.lax.fori_loop(0, h_rb // 8, body8, 0)
@@ -300,6 +328,7 @@ def _fwd_kernel(dx_ref, dy_ref, w0x_ref, w0y_ref, b0_ref, w1_ref, b1_ref,
             return carry
 
         jax.lax.fori_loop(h_rb - h_rb % 8, h_rb, tail, 0)
+    _flush()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -308,9 +337,13 @@ def fused_cpb_bias(dx: jnp.ndarray, dy: jnp.ndarray, w0x: jnp.ndarray,
                    w1: jnp.ndarray, b1: jnp.ndarray,
                    w2: jnp.ndarray, b2: jnp.ndarray,
                    interpret: bool = False) -> jnp.ndarray:
-    """bias (BG, H, W*J) f32 [lane order w*J+j] from signed-log displacement
+    """bias (BG, H, W*J) [lane order w*J+j] from signed-log displacement
     tables; the layer-1 factor tiles u = w0x*dx / v = w0y*dy + b0 are built
-    in VMEM (round 5 — never in HBM).
+    in VMEM (round 5 — never in HBM).  The output rides the COMPUTE dtype
+    (w1.dtype): f32 runs emit f32 (bit-exact with the pre-round-5 interface),
+    bf16 production emits bf16 — in-VMEM accumulation is f32 either way, and
+    the downstream attention kernel upcasts per tile, so only the HBM stream
+    narrows (`SML_TPU_CPB_BIAS_F32=1` restores f32).
 
     dx: (BG, W*J) f32 [lane order w*J + j];  dy: (BG, H, J) f32;
     w0x/w0y/b0 (dm,), w1 (dm, dm), b1 (dm,), w2 (dm, 1) [one bias head per
@@ -343,32 +376,39 @@ def fused_cpb_bias(dx: jnp.ndarray, dy: jnp.ndarray, w0x: jnp.ndarray,
         b1_op = jnp.tile(b1_op, (rp, 1))                  # (rp*dm, 1)
         w2_op = jnp.kron(eye, w2_op)                      # (rp, rp*dm)
 
+    in_specs = [
+        pl.BlockSpec((1, 1, cwj), lambda b, r, s: (b, 0, s),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h_rb, j), lambda b, r, s: (b, r, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((dm, 1), lambda b, r, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((dm, 1), lambda b, r, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((dm, 1), lambda b, r, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rp * dm, rp * dm), lambda b, r, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rp * dm, 1), lambda b, r, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rp, rp * dm), lambda b, r, s: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda b, r, s: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    out_dtype = jnp.float32 if _BIAS_F32 else cdt
+    subword = jnp.dtype(out_dtype).itemsize < 4
     return pl.pallas_call(
         kernel,
         grid=(bg, n_rb, wsplit),
-        in_specs=[
-            pl.BlockSpec((1, 1, cwj), lambda b, r, s: (b, 0, s),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h_rb, j), lambda b, r, s: (b, r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((dm, 1), lambda b, r, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((dm, 1), lambda b, r, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((dm, 1), lambda b, r, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rp * dm, rp * dm), lambda b, r, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rp * dm, 1), lambda b, r, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rp, rp * dm), lambda b, r, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b, r, s: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, h_rb, cwj), lambda b, r, s: (b, r, s),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bg, h, wj), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bg, h, wj), out_dtype),
+        # sub-word outputs: rows land in an f32 scratch, cast+stored once per
+        # block (Mosaic cannot prove row-dynamic sub-pair stores aligned)
+        scratch_shapes=[pltpu.VMEM((h_rb, cwj), jnp.float32)] if subword
+        else [],
         interpret=interpret,
     )(dx.reshape(bg, 1, wj), dy, w0x.reshape(dm, 1), w0y.reshape(dm, 1),
       b0.reshape(dm, 1), w1_op, b1_op, w2_op, b2.reshape(1, 1))
@@ -377,8 +417,8 @@ def fused_cpb_bias(dx: jnp.ndarray, dy: jnp.ndarray, w0x: jnp.ndarray,
 def _bwd_kernel(dx_ref, dy_ref, w0x_ref, w0y_ref, b0_ref, w1_ref, b1_ref,
                 w2_ref, dbias_ref,
                 ddx_ref, ddy_ref, dw0x_ref, dw0y_ref, db0_ref,
-                dw1_ref, db1_ref, dw2_ref, db2_ref, du_scr,
-                *, h_rb: int, cw: int, j: int, dm: int, n_rb: int,
+                dw1_ref, db1_ref, dw2_ref, db2_ref, du_scr, *maybe_scr,
+                h_rb: int, cw: int, j: int, dm: int, n_rb: int,
                 order: str = "rs", cdt=None):
     """Backward: recompute h1/h2 per (row, lane-chunk), accumulate grads in VMEM.
 
@@ -403,6 +443,18 @@ def _bwd_kernel(dx_ref, dy_ref, w0x_ref, w0y_ref, b0_ref, w1_ref, b1_ref,
     the equivalence test and because the fold points differ.
     dw*/db* partials accumulate across all of a bg's programs in both orders.
     """
+    # sub-word dbias (bf16 production): Mosaic cannot prove row-dynamic
+    # sub-pair loads aligned, so the block is upcast ONCE into an f32 scratch
+    # and the row loop reads that (round 5, same trick as the forward store)
+    dbias_scr = maybe_scr[0] if maybe_scr else None
+    if dbias_scr is not None:
+        dbias_scr[...] = dbias_ref[0].astype(jnp.float32)
+
+    def load_dbias_row(r):
+        if dbias_scr is None:
+            return dbias_ref[0, pl.ds(r, 1)].astype(jnp.float32)
+        return dbias_scr[pl.ds(r, 1)]
+
     u = _build_u(dx_ref, w0x_ref, cdt)                   # (dm, cw*J)
     w2 = w2_ref[:].astype(jnp.float32)                   # (1, dm)
     w0x_f = w0x_ref[:].astype(jnp.float32)               # (dm, 1)
@@ -450,7 +502,7 @@ def _bwd_kernel(dx_ref, dy_ref, w0x_ref, w0y_ref, b0_ref, w1_ref, b1_ref,
                      preferred_element_type=jnp.float32) + b1_ref[:]
         h2 = jnp.maximum(z2, 0.0)                        # (dm, cw*J) f32
 
-        dbias = dbias_ref[0, pl.ds(r, 1)].astype(jnp.float32)   # (1, cw*J)
+        dbias = load_dbias_row(r)                        # (1, cw*J) f32
 
         # layer-3: bias = w2 @ h2 + b2 (lane reductions, no transposes)
         if _MXU_REDUCE:
@@ -653,7 +705,9 @@ def _cpb_bwd_call(dx, dy, w0x, w0y, b0, w1, b1, w2, dbias, interpret=False,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((dm, cwj), f32)],         # du accumulator
+        scratch_shapes=[pltpu.VMEM((dm, cwj), f32)]          # du accumulator
+        + ([pltpu.VMEM((h_rb, cwj), f32)]                    # dbias upcast
+           if jnp.dtype(dbias.dtype).itemsize < 4 else []),
         interpret=interpret,
     )(dx.reshape(bg, 1, wj), dy, w0x.reshape(dm, 1), w0y.reshape(dm, 1),
       b0.reshape(dm, 1), w1, b1.reshape(dm, 1), w2.reshape(1, dm), dbias)
@@ -695,9 +749,12 @@ def _cpb_fwd(dx, dy, w0x, w0y, b0, w1, b1, w2, b2, interpret):
 
 def _cpb_bwd(interpret, res, dbias):
     dx, dy, w0x, w0y, b0, w1, b1, w2 = res
+    # dbias arrives in the bias's own dtype (compute dtype in production) and
+    # feeds the kernel directly — the kernel upcasts per tile; an XLA-side
+    # astype here would materialize another 270 MB f32 copy at the 4k shape
     (ddx, ddy, dw0x, dw0y, db0, dw1, db1, dw2,
      db2) = _cpb_bwd_call(dx, dy, w0x, w0y, b0, w1, b1, w2,
-                          dbias.astype(jnp.float32), interpret=interpret)
+                          dbias, interpret=interpret)
     return (ddx, ddy, dw0x, dw0y, db0, dw1, db1, dw2,
             db2.reshape(1).astype(jnp.float32))
 
@@ -1019,7 +1076,9 @@ def _fused_attn_bwd_call(q, k, v, bias, mask, seed, span, dout, keep_prob,
     if has_bias:
         out_specs.append(pl.BlockSpec((1, nb, j), lambda b, r: (b, r, 0),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((bg, npad, j), f32))  # dbias
+        # dbias rides the bias's dtype (compute dtype in production): the
+        # softmax VJP is f32 in-kernel, only the HBM stream narrows
+        out_shape.append(jax.ShapeDtypeStruct((bg, npad, j), bias.dtype))
     outs = pl.pallas_call(
         kernel,
         grid=(bg, npad // nb),
@@ -1042,7 +1101,9 @@ def deform_attention_trainable(q, k, v, bias, mask=None, seed=None, span=None,
                                keep_prob=1.0, interpret=False):
     """out (BG, N, dh) = dropout(softmax(mask(q @ k^T + bias))) @ v, fused.
 
-    q (BG, N, dh) already scaled; k/v (BG, J, dh); bias (BG, N, J) f32 (the
+    q (BG, N, dh) already scaled; k/v (BG, J, dh); bias (BG, N, J) in any
+    float dtype — upcast to f32 per tile in-kernel; dbias is returned in the
+    same dtype (the
     CPB kernel's output reshaped — a free relayout) or None for pure softmax
     attention (the Nystrom landmark chains use this: no bias operand, no
     dbias output).  Dropout comes from at most one of: ``mask``, a {0, 1}
