@@ -83,16 +83,21 @@ def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
     x_path_bytes = 4 * batch_size * fixdim * config.input_path_dim
     gen_on_device = (device_data == "device"
                      or (device_data == "auto" and x_path_bytes > 100e6))
+    from sml_tpu.models.factory import feature_np_dtype
+    fdt = feature_np_dtype(config)
     if gen_on_device:
         import jax.numpy as jnp
         small = _example_batch(config, batch_size, skip_x_path=True)
         shape = (batch_size, fixdim, config.input_path_dim)
         sharding = batch_sharding(mesh, config.data_axis)
-        gen = jax.jit(lambda k: jax.random.normal(k, shape, jnp.float32),
+        gen = jax.jit(lambda k: jax.random.normal(k, shape,
+                                                  jnp.float32).astype(fdt),
                       out_shardings=sharding)
         batch = dict(small, x_path=gen(jax.random.PRNGKey(17)))
     else:
         batch = _example_batch(config, batch_size)
+        import numpy as _np
+        batch["x_path"] = _np.asarray(batch["x_path"]).astype(fdt)
     if mask_frac < 1.0:
         # bucketed-bag shape: suffix validity masks (the production masked
         # path — data/bucketing.py), valid counts staggered around the target
@@ -173,6 +178,17 @@ def measure(batch_size: int = 8, fixdim: int = 2500, steps: int = 20,
         small = 2
         scan_small = jax.jit(lambda s, b: steps_fn(s, b, small))
         scan_big = jax.jit(lambda s, b: steps_fn(s, b, small + steps))
+        # SML_TPU_XLA_OPTS: JSON dict of per-compile XLA options (e.g.
+        # {"xla_tpu_enable_latency_hiding_scheduler": "true"}).  The local
+        # jaxlib rejects some TPU flags at XLA_FLAGS parse time, but
+        # compiler_options ride the compile RPC to the REMOTE compiler —
+        # the only way to probe scheduler behavior through the axon tunnel.
+        xla_opts = json.loads(os.environ.get("SML_TPU_XLA_OPTS", "") or "{}")
+        if xla_opts:
+            scan_small = scan_small.lower(state, dev_batch).compile(
+                compiler_options=xla_opts)
+            scan_big = scan_big.lower(state, dev_batch).compile(
+                compiler_options=xla_opts)
         t_compile0 = time.perf_counter()
         _, m = scan_small(state, dev_batch)
         sync(m)

@@ -30,6 +30,16 @@ VARIANTS = [
     ("B16_vmem10", 16, {"SML_TPU_VMEM_BWD_MB": "10"}),
     ("B16_vmem14", 16, {"SML_TPU_VMEM_BWD_MB": "14"}),
     ("B16_lhs", 16, {"XLA_FLAGS": "--xla_tpu_enable_latency_hiding_scheduler=true"}),
+    # r5: the local jaxlib rejects the flag at XLA_FLAGS parse time, but
+    # per-compile compiler_options ride the compile RPC to the REMOTE
+    # compiler (bench.py SML_TPU_XLA_OPTS) — probe both polarities to learn
+    # the default AND the effect.
+    ("B16_lhs_on", 16, {"SML_TPU_XLA_OPTS":
+                        '{"xla_tpu_enable_latency_hiding_scheduler": "true"}'}),
+    ("B16_lhs_off", 16, {"SML_TPU_XLA_OPTS":
+                         '{"xla_tpu_enable_latency_hiding_scheduler": "false"}'}),
+    ("B8_lhs_on", 8, {"SML_TPU_XLA_OPTS":
+                      '{"xla_tpu_enable_latency_hiding_scheduler": "true"}'}),
 ]
 
 

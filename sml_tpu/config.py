@@ -145,6 +145,12 @@ class Config:
     init_type: str = "max"                # max | normal | xavier | kaiming | orthogonal | none
     init_gain: float = 0.02
     compute_dtype: str = "float32"        # "float32" | "bfloat16" (matmul compute dtype)
+    feature_dtype: str = "auto"           # HBM/transfer dtype of the WSI feature bags
+                                          # (x_path). "auto" = follow compute_dtype.
+                                          # Numerics-neutral when it matches
+                                          # compute_dtype (the first Dense casts its
+                                          # input there anyway); halves the largest
+                                          # batch stream + host->device transfer.
     use_pallas: bool = True               # use fused Pallas kernels on TPU where available
     eval_every_iters: int = 0             # reference evals every 10 iters; 0 = per-epoch only
     remat: bool = False                   # jax.checkpoint the heavy branches

@@ -40,6 +40,20 @@ def _dtype(config: Config):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[config.compute_dtype]
 
 
+def feature_np_dtype(config: Config):
+    """numpy dtype for the stored/transferred WSI feature bags (x_path).
+
+    ``feature_dtype: auto`` follows compute_dtype — numerics-neutral, because
+    the branch's first Dense casts its input to compute_dtype regardless; the
+    win is HBM/transfer bytes (134 -> 67 MB per B=8 x 4096 batch)."""
+    import numpy as np
+
+    name = getattr(config, "feature_dtype", "auto")
+    if name == "auto":
+        name = config.compute_dtype
+    return {"float32": np.float32, "bfloat16": jnp.bfloat16}[name]
+
+
 def _seq_mesh(config: Config):
     """The (data, seq) mesh when sequence parallelism is configured, else None.
 

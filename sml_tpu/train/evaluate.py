@@ -28,8 +28,11 @@ def evaluate(config: Config, eval_step: Callable, variables, loader,
     # full round-trip each on tunneled TPUs.  Eval loaders hold the FULL batch on
     # every host (per_host_full) so host-side metrics see the global arrays; under
     # multi-host the sharded outputs are allgathered back by fetch_global.
+    from sml_tpu.train.loop import cast_features
+
     outs, host_labels, host_masks = [], [], []
     for batch in loader:
+        batch = cast_features(config, batch)
         mask = batch["sample_mask"]
         dev_batch = (shard_batch(mesh, batch, per_host_full=True)
                      if mesh is not None else batch)

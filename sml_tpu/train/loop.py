@@ -27,6 +27,20 @@ from sml_tpu.train.steps import make_eval_step, make_train_step
 from sml_tpu.utils.logging import MetricLogger
 
 
+def cast_features(config: Config, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Host-side cast of the WSI feature bags to ``feature_dtype`` (auto =
+    compute_dtype).  Numerics-neutral when it matches compute_dtype — the
+    branch's first Dense casts its input there anyway — but halves the
+    dominant batch stream in HBM and over the host->device link."""
+    from sml_tpu.models.factory import feature_np_dtype
+
+    fdt = feature_np_dtype(config)
+    x = batch.get("x_path")
+    if x is not None and x.dtype != fdt:
+        batch = dict(batch, x_path=np.asarray(x).astype(fdt))
+    return batch
+
+
 def setup(config: Config, mesh=None):
     """Build (mesh, model, state, train_step, eval_step, loaders).
 
@@ -83,7 +97,7 @@ def setup(config: Config, mesh=None):
 
     model = define_net(config)
     rng = jax.random.PRNGKey(config.seed)
-    init_batch = next(iter(test_loader))
+    init_batch = cast_features(config, next(iter(test_loader)))
     init_batch.pop("sample_mask", None)
     variables = init_model(config, model, rng, init_batch)
 
@@ -207,6 +221,7 @@ def train(config: Config, logger: Optional[MetricLogger] = None
 
             metric_chunks, buf = [], []
             for b in train_loader:
+                b = cast_features(config, b)
                 b.pop("sample_mask", None)
                 buf.append(b)
                 if len(buf) == chunk:
@@ -228,6 +243,7 @@ def train(config: Config, logger: Optional[MetricLogger] = None
                                          for k, v in metrics_stack.items()}})
         else:
             for batch in train_loader:
+                batch = cast_features(config, batch)
                 batch.pop("sample_mask", None)
                 dev_batch = shard_batch(mesh, batch)
                 state, metrics = train_step(state, dev_batch)

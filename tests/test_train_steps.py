@@ -184,3 +184,35 @@ def test_survival_mode_train_and_eval_step():
     out = eval_step(new_state.model_variables(), batch)
     assert out["risk"].shape == (4,)
     assert np.isfinite(np.asarray(out["risk"])).all()
+
+
+def test_feature_dtype_bf16_bit_exact():
+    """feature_dtype=auto with bf16 compute: pre-casting x_path to bf16 on the
+    host is bit-identical to handing the step f32 x_path (the branch's first
+    Dense casts its input to compute_dtype either way) — the knob only moves
+    WHERE the cast happens (host/loader vs in-graph), never the numerics."""
+    from sml_tpu.models.factory import feature_np_dtype
+    from sml_tpu.train.loop import cast_features
+
+    config = small_config(mode="deformpathomic", batch_size=2,
+                          compute_dtype="bfloat16", dropout_rate=0.0,
+                          gradient_modulate=False, return_vgrid=False)
+    assert feature_np_dtype(config) == jnp.bfloat16
+    model, state, tx, batch = _setup(config)
+    labels = np.zeros((2, 12), np.float32)
+    labels[:, 5] = np.arange(2) % 4
+    batch["labels"] = jnp.asarray(labels)
+    step = jax.jit(make_train_step(config, model, tx, jit=False), donate_argnums=())
+
+    host_batch = {k: np.asarray(v) for k, v in batch.items()}
+    cast = cast_features(config, dict(host_batch))
+    assert cast["x_path"].dtype == jnp.bfloat16
+
+    _, m_f32 = step(state, {k: jnp.asarray(v) for k, v in host_batch.items()})
+    _, m_bf16 = step(state, {k: jnp.asarray(v) for k, v in cast.items()})
+    assert float(m_f32["loss"]) == float(m_bf16["loss"])
+
+    # explicit override wins over auto
+    config_f32 = small_config(mode="deformpathomic", batch_size=2,
+                              compute_dtype="bfloat16", feature_dtype="float32")
+    assert feature_np_dtype(config_f32) == np.float32
