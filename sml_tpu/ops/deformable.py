@@ -19,6 +19,7 @@ Semantics notes kept from the reference:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -26,7 +27,16 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sml_tpu.ops.common import torch_kernel_init
-from sml_tpu.ops.grid_sample import grid_sample_1d, grid_sample_2d
+from sml_tpu.ops.grid_sample import (grid_sample_1d, grid_sample_2d,
+                                     grid_sample_2d_matmul)
+
+# Route the 2-D resample through the separable one-hot-matmul formulation
+# (same bilinear math; the backward's d_inp becomes an MXU contraction instead
+# of the scatter-add that gather AD produces — TPU scatters serialize).
+# Step-level A/B @4k B=8 (paired, same session): gather 52.64 ms, matmul
+# 49.75 ms — default on; SML_TPU_GRID_MATMUL=0 restores the gather form.
+_GRID_MATMUL = os.environ.get("SML_TPU_GRID_MATMUL", "1") != "0"
+_grid_sample_2d = grid_sample_2d_matmul if _GRID_MATMUL else grid_sample_2d
 
 
 def make_grid_2d(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -422,7 +432,7 @@ class DeformCrossAttention2D(nn.Module):
         vgrid = grid[None] + offsets                              # (B*g, Hd, Wd, 2)
         vgrid_scaled = normalize_grid_2d(vgrid, hd, wd)
 
-        kv = grid_sample_2d(_group(img2, g), vgrid_scaled)        # (B*g, Hd, Wd, c/g)
+        kv = _grid_sample_2d(_group(img2, g), vgrid_scaled)       # (B*g, Hd, Wd, c/g)
         kv = _ungroup(kv, g)                                      # (B, Hd, Wd, c)
 
         k = conv1x1(inner_dim, g if self.group_key_values else 1, False, "to_k")(kv)

@@ -74,6 +74,56 @@ def grid_sample_2d(inp: jnp.ndarray, grid: jnp.ndarray,
     return out.reshape(n, gh, gw, c)
 
 
+def grid_sample_2d_matmul(inp: jnp.ndarray, grid: jnp.ndarray,
+                          align_corners: bool = False) -> jnp.ndarray:
+    """``grid_sample_2d`` restructured as two separable one-hot matmuls.
+
+    Same bilinear/zeros math (weights and taps identical; only the
+    accumulation order differs: rows first, then columns), but the sampling
+    becomes ``A_y @ img`` followed by a lane reduction with ``A_x`` — and AD
+    of a matmul is a matmul, so the backward's d_inp is an MXU contraction
+    instead of the XLA scatter-add that ``take_along_axis`` transposes to
+    (TPU scatters serialize; this is the deformable branch's grid-sample
+    backward cost).  Intermediates are small at model shapes ((B*g, P, H)
+    one-hot row matrices and a (B*g, P, W, C) row-gathered slab).
+
+    Weights/one-hots ride in f32 when ``inp`` is f32 (oracle parity) and in
+    ``inp.dtype`` otherwise (bf16 MXU path, matching the branch compute dtype).
+    """
+    n, h, w, c = inp.shape
+    gh, gw = grid.shape[1], grid.shape[2]
+    x = _unnormalize(grid[..., 0].reshape(n, -1), w, align_corners)   # (N, P)
+    y = _unnormalize(grid[..., 1].reshape(n, -1), h, align_corners)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wx0 = 1.0 - wx1
+    wy1 = y - y0
+    wy0 = 1.0 - wy1
+
+    adt = inp.dtype if inp.dtype != jnp.float32 else jnp.float32
+
+    def taps(i0, w0, w1, size):
+        """(N, P, size) two-tap row matrix: w0 at i0, w1 at i0+1, 0 out of range."""
+        idx = i0.astype(jnp.int32)
+        iota = jnp.arange(size, dtype=jnp.int32)
+        oh0 = (idx[..., None] == iota).astype(adt)
+        oh1 = ((idx + 1)[..., None] == iota).astype(adt)
+        return oh0 * w0[..., None].astype(adt) + oh1 * w1[..., None].astype(adt)
+
+    a_y = taps(y0, wy0, wy1, h)                                   # (N, P, H)
+    a_x = taps(x0, wx0, wx1, w)                                   # (N, P, W)
+
+    # rows: (N, P, H) @ (N, H, W*C) -> (N, P, W, C)
+    rows = jnp.einsum("nph,nhwc->npwc", a_y, inp.astype(adt),
+                      preferred_element_type=jnp.float32)
+    # columns: weighted lane reduction over W
+    out = jnp.einsum("npw,npwc->npc", a_x.astype(jnp.float32), rows,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(n, gh, gw, c).astype(inp.dtype)
+
+
 def grid_sample_1d(inp: jnp.ndarray, grid: jnp.ndarray,
                    align_corners: bool = False) -> jnp.ndarray:
     """Linear sample ``inp`` (N,L,C) at normalized coords ``grid`` (N,P); zeros padding.

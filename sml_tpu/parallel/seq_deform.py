@@ -51,7 +51,8 @@ def seq_parallel_deform_attn_2d(params: dict, x1_l: jnp.ndarray,
     contiguous row shards of the (h, w) query grid (n_local = (h/n_dev) * w)."""
     from sml_tpu.ops.deformable import (CPB2D, _group, _ungroup, make_grid_2d,
                                         normalize_grid_2d)
-    from sml_tpu.ops.grid_sample import grid_sample_2d
+    # same resample formulation as the single-device module (gated matmul form)
+    from sml_tpu.ops.deformable import _grid_sample_2d as grid_sample_2d
 
     b, n_l, c = x1_l.shape
     h_l = h // n_dev

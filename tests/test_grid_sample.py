@@ -94,3 +94,37 @@ def test_grid_sample_2d_gradients_flow():
     assert np.isfinite(np.asarray(g_img)).all()
     assert np.isfinite(np.asarray(g_grid)).all()
     assert np.abs(np.asarray(g_grid)).sum() > 0
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize("shape", [(2, 5, 7, 3), (1, 50, 50, 16), (8, 12, 12, 4)])
+def test_grid_sample_2d_matmul_matches_gather(align_corners, shape):
+    """The production one-hot-matmul form == the gather form, fwd AND both grads.
+
+    The matmul form is what the deformable branch runs (MXU backward instead of
+    the AD scatter-add); the gather form is the torch-oracle-pinned semantics.
+    Out-of-range coords exercise the implicit zeros padding of the one-hots.
+    """
+    import jax
+
+    from sml_tpu.ops.grid_sample import grid_sample_2d_matmul
+
+    rng = np.random.default_rng(3)
+    n, h, w, c = shape
+    gh, gw = 6, 9
+    img = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+    grid = jnp.asarray(rng.uniform(-1.8, 1.8, size=(n, gh, gw, 2)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(n, gh, gw, c)).astype(np.float32))
+
+    f_gather = lambda i, g: grid_sample_2d(i, g, align_corners=align_corners)
+    f_matmul = lambda i, g: grid_sample_2d_matmul(i, g, align_corners=align_corners)
+
+    np.testing.assert_allclose(np.asarray(f_matmul(img, grid)),
+                               np.asarray(f_gather(img, grid)),
+                               rtol=1e-5, atol=1e-5)
+    g1 = jax.grad(lambda i, g: jnp.vdot(f_gather(i, g), ct), argnums=(0, 1))(img, grid)
+    g2 = jax.grad(lambda i, g: jnp.vdot(f_matmul(i, g), ct), argnums=(0, 1))(img, grid)
+    np.testing.assert_allclose(np.asarray(g2[0]), np.asarray(g1[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(g1[1]),
+                               rtol=1e-4, atol=1e-4)
